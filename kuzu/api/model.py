@@ -1,0 +1,102 @@
+"""Model facade — the public entry point, mirroring the reference's
+``YOLO``/``Model`` API surface (``yolov12/ultralytics/engine/model.py:31``):
+``.train() / .val() / .predict() / .export() / .benchmark()``.
+
+Task dispatch maps a task name to (trainer, validator, predictor) classes the
+same way the reference's ``task_map`` does; tasks register themselves on
+import via ``register_task``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Callable
+
+from kuzu.core.config import Config, load_config
+
+_TASK_REGISTRY: dict[str, dict[str, Callable]] = {}
+
+
+def register_task(name: str, **components: Callable) -> None:
+    _TASK_REGISTRY.setdefault(name, {}).update(components)
+
+
+def task_map() -> dict[str, dict[str, Callable]]:
+    # import side-effect registration
+    import kuzu.tasks  # noqa: F401
+
+    return _TASK_REGISTRY
+
+
+class Model:
+    """Facade over a task's trainer/validator/predictor.
+
+    ``model`` may be a model-yaml path (build from scratch), a checkpoint
+    directory (restore), or a registered architecture name like
+    ``yolov12n`` / ``trocr`` / ``simplevit``.
+    """
+
+    def __init__(self, model: str | Path, task: str | None = None, **kwargs: Any):
+        self.model_spec = str(model)
+        self.task = task or self._guess_task(self.model_spec)
+        self.overrides: dict[str, Any] = dict(kwargs)
+        self._trainer = None
+        self._predictor = None
+
+    @staticmethod
+    def _guess_task(spec: str) -> str:
+        s = spec.lower()
+        if "trocr" in s or "ocr" in s or "vit" in s and "simple" not in s:
+            return "recognize" if ("trocr" in s or "ocr" in s) else "classify"
+        if "simplevit" in s or "classify" in s:
+            return "classify"
+        if "lm" in s or "mlm" in s or "roberta" in s:
+            return "lm"
+        return "detect"
+
+    def _component(self, kind: str) -> Callable:
+        tmap = task_map()
+        if self.task not in tmap or kind not in tmap[self.task]:
+            raise NotImplementedError(
+                f"task '{self.task}' has no registered '{kind}'"
+            )
+        return tmap[self.task][kind]
+
+    def _cfg(self, mode: str, **kwargs: Any) -> Config:
+        ov = {**self.overrides, **kwargs, "mode": mode, "task": self.task}
+        ov.setdefault("model", self.model_spec)
+        return load_config(overrides=ov)
+
+    def train(self, **kwargs: Any) -> dict:
+        trainer_cls = self._component("trainer")
+        self._trainer = trainer_cls(self._cfg("train", **kwargs))
+        return self._trainer.train()
+
+    def val(self, **kwargs: Any) -> dict:
+        validator_cls = self._component("validator")
+        return validator_cls(self._cfg("val", **kwargs)).run()
+
+    def predict(self, source: Any, **kwargs: Any):
+        predictor_cls = self._component("predictor")
+        if self._predictor is None:
+            self._predictor = predictor_cls(self._cfg("predict", **kwargs))
+        return self._predictor(source)
+
+    def __call__(self, source: Any, **kwargs: Any):
+        return self.predict(source, **kwargs)
+
+    def export(self, **kwargs: Any):
+        exporter = self._component("exporter")
+        return exporter(self._cfg("export", **kwargs)).run()
+
+    def benchmark(self, **kwargs: Any) -> dict:
+        from kuzu.tools.benchmarks import benchmark_model
+
+        return benchmark_model(self, **kwargs)
+
+
+class YOLO(Model):
+    """Detection-flavored alias kept for reference-API familiarity."""
+
+    def __init__(self, model: str | Path = "yolov12n", **kwargs: Any):
+        super().__init__(model, task="detect", **kwargs)

@@ -1,0 +1,71 @@
+"""Device mesh + sharding bootstrap.
+
+TPU-native replacement for the reference's NCCL/DDP stack
+(``yolov12/ultralytics/engine/trainer.py:217-228`` process-group init,
+``utils/dist.py`` torchrun launcher, ``DistributedSampler``): a single
+controller builds a `jax.sharding.Mesh`, the global batch is sharded over the
+``data`` axis with `NamedSharding`, and gradient averaging is an XLA `psum`
+inserted by the compiler — no subprocess relaunch, no rank plumbing.
+
+The ``model`` axis is reserved for tensor parallelism (unused by the
+reference, kept first-class here so large recognizer/LM configs can shard).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: int = -1, model: int = 1, devices: list | None = None
+) -> Mesh:
+    """Build a (data, model) mesh over local (or given) devices.
+
+    ``data=-1`` consumes all devices not used by ``model``.
+    """
+    devs = devices if devices is not None else jax.devices()
+    n = len(devs)
+    if model < 1:
+        model = 1
+    if data == -1:
+        data = n // model
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} exceeds {n} devices")
+    arr = np.array(devs[: data * model]).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a batch pytree: leading axis split over ``data``."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch pytree onto the mesh, sharded along axis 0."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def process_is_primary() -> bool:
+    """Replacement for the reference's RANK in (-1, 0) guards."""
+    return jax.process_index() == 0
+
+
+@lru_cache(maxsize=1)
+def maybe_force_cpu_mesh(n: int = 8) -> None:
+    """Test helper: request ``n`` virtual CPU devices (must run pre-jax-init)."""
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}"
+        ).strip()

@@ -1,0 +1,83 @@
+import numpy as np
+
+from kuzu.core.metrics import (
+    DetMetrics,
+    character_accuracy,
+    character_error_rate,
+    compute_ap,
+    levenshtein,
+    match_predictions,
+)
+
+
+def test_levenshtein():
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("", "abc") == 3
+    assert levenshtein("abc", "abc") == 0
+    assert levenshtein([1, 2, 3], [1, 3]) == 1
+
+
+def test_cer():
+    assert character_error_rate(["abc"], ["abc"]) == 0.0
+    assert character_error_rate(["axc"], ["abc"]) == 1 / 3
+
+
+def test_compute_ap_perfect():
+    recall = np.array([0.5, 1.0])
+    precision = np.array([1.0, 1.0])
+    ap101, _, _ = compute_ap(recall, precision)
+    ap11, _, _ = compute_ap(recall, precision, method="interp11")
+    assert ap101 > 0.99
+    assert ap11 > 0.99
+
+
+def test_match_predictions_greedy():
+    gt = np.array([[0.0, 0, 10, 10]])
+    preds = np.array([[0.0, 0, 10, 10], [0.5, 0.5, 10.5, 10.5]])
+    correct = match_predictions(
+        preds, np.zeros(2), gt, np.zeros(1), np.array([0.5])
+    )
+    # only one prediction can match the single GT
+    assert correct.sum() == 1 and correct[0, 0]
+
+
+def test_det_metrics_perfect_detector():
+    m = DetMetrics()
+    gt = np.array([[0.0, 0, 10, 10], [20, 20, 40, 40]], dtype=np.float32)
+    m.update(
+        pred_boxes=gt,
+        pred_scores=np.array([0.9, 0.8]),
+        pred_classes=np.array([0, 1]),
+        pred_valid=np.array([True, True]),
+        gt_boxes=gt,
+        gt_classes=np.array([0, 1]),
+        gt_valid=np.array([True, True]),
+    )
+    res = m.compute()
+    assert res["map50"] > 0.99
+    assert res["map"] > 0.99
+    assert 0.0 <= res["fitness"] <= 1.0
+
+
+def test_det_metrics_false_positive_lowers_map():
+    m = DetMetrics()
+    gt = np.array([[0.0, 0, 10, 10]], dtype=np.float32)
+    preds = np.array([[50.0, 50, 60, 60], [0, 0, 10, 10]], dtype=np.float32)
+    m.update(
+        preds,
+        np.array([0.95, 0.9]),
+        np.zeros(2),
+        np.array([True, True]),
+        gt,
+        np.zeros(1),
+        np.array([True]),
+    )
+    res = m.compute()
+    assert 0.0 < res["map50"] < 1.0
+
+
+def test_character_accuracy():
+    gt = np.array([[0.0, 0, 10, 10], [20, 0, 30, 10]])
+    preds = np.array([[0.0, 0, 10, 10], [20, 0, 30, 10]])
+    acc = character_accuracy(preds, np.array([1, 2]), gt, np.array([1, 3]))
+    assert acc == 0.5
