@@ -1,0 +1,79 @@
+"""kuzu CLI — ``python -m kuzu.api.cli <mode> <task> k=v ...``
+
+Parity with the reference's ``yolo`` entrypoint
+(``yolov12/ultralytics/cfg/__init__.py:817``): positional mode/task tokens
+plus ``k=v`` overrides with typed coercion and fuzzy-key errors.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from kuzu.api.model import Model
+from kuzu.core.config import load_config
+
+MODES = ("train", "val", "predict", "export", "benchmark")
+TASKS = ("detect", "recognize", "classify", "lm")
+
+HELP = f"""kuzu CLI
+usage: python -m kuzu.api.cli <mode> [<task>] key=value ...
+modes: {MODES}
+tasks: {TASKS}
+examples:
+  python -m kuzu.api.cli train classify data=glyphs/ epochs=10 imgsz=128
+  python -m kuzu.api.cli train detect model=yolov12n data=dataset.yaml
+  python -m kuzu.api.cli predict detect model=runs/detect/x/weights source=page.jpg
+"""
+
+
+def main(argv: list[str] | None = None) -> int:
+    import os
+
+    if os.environ.get("KUZU_FORCE_CPU"):
+        # some site configs pin JAX_PLATFORMS; the config update always wins
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help", "help"):
+        print(HELP)
+        return 0
+    mode = argv.pop(0)
+    if mode not in MODES:
+        print(f"unknown mode '{mode}'\n{HELP}")
+        return 2
+    task = None
+    if argv and "=" not in argv[0]:
+        task = argv.pop(0)
+        if task not in TASKS:
+            print(f"unknown task '{task}'\n{HELP}")
+            return 2
+    cfg = load_config(overrides=argv)
+    task = task or cfg.get("task", "detect")
+    model = Model(str(cfg.get("model") or task), task=task)
+    overrides = {
+        k: v for k, v in cfg.items() if k not in ("mode", "task")
+    }
+    if mode == "train":
+        result = model.train(**overrides)
+    elif mode == "val":
+        result = model.val(**overrides)
+    elif mode == "predict":
+        source = overrides.pop("source", None)
+        result = model.predict(source, **overrides)
+    elif mode == "export":
+        result = model.export(**overrides)
+    else:
+        result = model.benchmark(**overrides)
+    if isinstance(result, dict):
+        print(
+            " ".join(
+                f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in result.items()
+            )
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

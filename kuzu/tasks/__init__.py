@@ -1,0 +1,6 @@
+"""Task registry — importing this package registers all tasks on the Model
+facade (parity with the reference's ``task_map``)."""
+
+import kuzu.tasks.classify  # noqa: F401
+
+__all__ = []

@@ -1,0 +1,191 @@
+"""BaseTrainer / BaseValidator — the task-agnostic training engine.
+
+TPU-native rebuild of the reference's ``BaseTrainer``/``BaseValidator``
+(``yolov12/ultralytics/engine/trainer.py:58``, ``engine/validator.py:69``):
+experiment dirs with config snapshot, epoch loop over a jitted sharded train
+step, per-epoch validation with a fitness scalar, best/last checkpoints,
+early stopping, resume, CSV metrics, callbacks. Subclasses supply the model,
+data, loss, and validation logic.
+
+Differences by design (SURVEY.md §5.8): no DDP subprocess relaunch — one
+controller, a `Mesh`, and XLA collectives; no GradScaler — bf16 is native;
+early-stop decisions are computed identically on every host from replicated
+metrics instead of being broadcast.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from datetime import datetime
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+
+from kuzu.core.callbacks import (
+    LOGGER,
+    CallbackRegistry,
+    CSVLogger,
+    EarlyStopping,
+)
+from kuzu.core.checkpoint import CheckpointManager
+from kuzu.core.config import Config
+from kuzu.core.mesh import make_mesh, process_is_primary, shard_batch
+from kuzu.core.train import TrainState, build_optimizer, init_state, make_train_step
+
+
+class BaseTrainer:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.callbacks = CallbackRegistry()
+        mesh_cfg = cfg.get("mesh", {})
+        self.mesh = make_mesh(
+            int(mesh_cfg.get("data", -1)), int(mesh_cfg.get("model", 1))
+        )
+        self.save_dir = self._setup_dir()
+        self.ckpt = CheckpointManager(self.save_dir / "weights")
+        self.csv = CSVLogger(self.save_dir / "results.csv")
+        self.stopper = EarlyStopping(int(cfg.get("patience", 100)))
+        self.epoch = 0
+        self.state: TrainState | None = None
+
+    # ------------------------------------------------------------- plumbing
+    def _setup_dir(self) -> Path:
+        name = self.cfg.get("name") or datetime.now().strftime("%Y%m%d_%H%M%S")
+        d = Path(self.cfg.get("project", "runs")) / str(self.cfg.get("task", "task")) / name
+        if d.exists() and not self.cfg.get("exist_ok", False):
+            stem = d
+            i = 2
+            while d.exists():
+                d = stem.parent / f"{stem.name}{i}"
+                i += 1
+        d.mkdir(parents=True, exist_ok=True)
+        self.cfg.to_yaml(d / "args.yaml")  # config snapshot (reference parity)
+        return d
+
+    # ------------------------------------------------------- subclass hooks
+    def build_model(self) -> Any:
+        """Return initial params pytree (and stash model refs on self)."""
+        raise NotImplementedError
+
+    def build_datasets(self) -> tuple[Any, Any]:
+        """Return (train_loader, val_loader-or-None)."""
+        raise NotImplementedError
+
+    def loss_fn(self, params: Any, batch: Any, rng: jax.Array):
+        """(loss, metrics-dict) for one global batch."""
+        raise NotImplementedError
+
+    def validate(self, state: TrainState) -> dict[str, float]:
+        """Return metrics incl. ``fitness`` (higher better). Default: none."""
+        return {}
+
+    def preprocess_batch(self, batch: dict) -> dict:
+        return batch
+
+    # ------------------------------------------------------------ the loop
+    def train(self) -> dict:
+        cfg = self.cfg
+        t0 = time.perf_counter()
+        train_loader, self.val_loader = self.build_datasets()
+        steps_per_epoch = max(len(train_loader), 1)
+        params = self.build_model()
+
+        tx = build_optimizer(cfg, steps_per_epoch)
+        use_ema = bool(cfg.get("ema", True))
+        self.state = init_state(params, tx, use_ema=use_ema)
+        accumulate = max(int(cfg.get("accumulate", 1)), 1)
+        self._step = make_train_step(
+            self.loss_fn,
+            tx,
+            mesh=self.mesh,
+            ema_decay=float(cfg.get("ema_decay", 0.9999)),
+            ema_tau=float(cfg.get("ema_tau", 2000)),
+            accumulate=accumulate,
+        )
+
+        start_epoch = 0
+        if cfg.get("resume") and self.ckpt.exists("last"):
+            self.state = self.ckpt.restore("last", like=self.state)
+            start_epoch = int(self.ckpt.metadata("last").get("epoch", -1)) + 1
+            LOGGER.info(f"resumed from epoch {start_epoch}")
+
+        n_params = sum(
+            int(np.prod(p.shape)) for p in jax.tree.leaves(self.state.params)
+        )
+        LOGGER.info(
+            f"kuzu {cfg.get('task')} train: {n_params/1e6:.2f}M params, "
+            f"{steps_per_epoch} steps/epoch, mesh {dict(self.mesh.shape)}, "
+            f"save_dir {self.save_dir}"
+        )
+        self.callbacks.run("on_train_start", self)
+
+        epochs = int(cfg.get("epochs", 1))
+        time_limit_h = cfg.get("time")
+        final_metrics: dict = {}
+        rng = jax.random.key(int(cfg.get("seed", 0)))
+        for epoch in range(start_epoch, epochs):
+            self.epoch = epoch
+            train_loader.set_epoch(epoch)
+            self.callbacks.run("on_epoch_start", self)
+            agg: dict[str, float] = {}
+            n_steps = 0
+            te = time.perf_counter()
+            for batch in train_loader:
+                batch = self.preprocess_batch(batch)
+                batch = shard_batch(batch, self.mesh)
+                rng, step_rng = jax.random.split(rng)
+                self.state, metrics = self._step(self.state, batch, step_rng)
+                n_steps += 1
+                for k, v in metrics.items():
+                    agg[k] = agg.get(k, 0.0) + float(v)
+                self.callbacks.run("on_step_end", self, metrics)
+            train_metrics = {k: v / max(n_steps, 1) for k, v in agg.items()}
+
+            self.callbacks.run("on_val_start", self)
+            val_metrics = self.validate(self.state) if cfg.get("val", True) else {}
+            self.callbacks.run("on_val_end", self, val_metrics)
+            fitness = float(
+                val_metrics.get("fitness", -train_metrics.get("loss", 0.0))
+            )
+
+            row = {
+                "epoch": epoch,
+                **{f"train/{k}": v for k, v in train_metrics.items()},
+                **{f"val/{k}": v for k, v in val_metrics.items()},
+                "fitness": fitness,
+                "time_s": time.perf_counter() - te,
+            }
+            if process_is_primary():
+                self.csv.log(row)
+                if cfg.get("verbose", True):
+                    msg = f"epoch {epoch}/{epochs - 1}: " + " ".join(
+                        f"{k}={v:.4g}" for k, v in row.items() if k != "epoch"
+                    )
+                    LOGGER.info(msg)
+                if cfg.get("save", True):
+                    self.ckpt.save(
+                        self.state, fitness=fitness, metadata={"epoch": epoch}
+                    )
+                    self.callbacks.run("on_checkpoint_save", self)
+            final_metrics = {**train_metrics, **val_metrics, "fitness": fitness}
+
+            if self.stopper(epoch, fitness):
+                LOGGER.info(
+                    f"early stop at epoch {epoch} "
+                    f"(best {self.stopper.best_fitness:.4g} @ {self.stopper.best_epoch})"
+                )
+                break
+            if time_limit_h and (time.perf_counter() - t0) > float(time_limit_h) * 3600:
+                LOGGER.info("time limit reached")
+                break
+
+        self.callbacks.run("on_train_end", self)
+        final_metrics["train_time_s"] = time.perf_counter() - t0
+        if process_is_primary():
+            (self.save_dir / "final.json").write_text(
+                json.dumps({k: float(v) for k, v in final_metrics.items()})
+            )
+        return final_metrics

@@ -1,0 +1,138 @@
+"""Glyph classification task (SimpleViT) — the minimum end-to-end slice.
+
+Trainer/validator parity with the reference's single-glyph classifier
+experiments (``scripts/train_simplevit_char.py``): image-folder-per-unicode
+dataset, CE loss, top-1 accuracy fitness, EMA weights for eval.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from kuzu.api.model import register_task
+from kuzu.core.mesh import shard_batch
+from kuzu.core.train import make_eval_step
+from kuzu.data.folder_dataset import GlyphFolderDataset
+from kuzu.data.loader import DataLoader
+from kuzu.models.simple_vit import SimpleViT
+from kuzu.tasks.base import BaseTrainer
+
+
+class ClassifyTrainer(BaseTrainer):
+    def build_datasets(self):
+        cfg = self.cfg
+        root = Path(cfg.data)
+        imgsz = int(cfg.get("imgsz", 128))
+        channels = int(cfg.get("channels", 1))
+        train_root = root / "train" if (root / "train").exists() else root
+        val_root = root / "val" if (root / "val").exists() else train_root
+        self.train_ds = GlyphFolderDataset(train_root, imgsz, channels)
+        self.val_ds = GlyphFolderDataset(
+            val_root, imgsz, channels, class_map=self.train_ds.class_map
+        )
+        self.train_ds.save_class_map(self.save_dir / "class_map.json")
+        batch = int(cfg.get("batch", 16))
+        loader = DataLoader(
+            self.train_ds,
+            batch,
+            shuffle=True,
+            seed=int(cfg.get("seed", 0)),
+            num_workers=int(cfg.get("workers", 4)),
+        )
+        val_loader = DataLoader(
+            self.val_ds, batch, shuffle=False, num_workers=int(cfg.get("workers", 4))
+        )
+        return loader, val_loader
+
+    def build_model(self) -> Any:
+        cfg = self.cfg
+        dtype = jnp.bfloat16 if cfg.get("dtype") == "bfloat16" else jnp.float32
+        self.model = SimpleViT(
+            num_classes=self.train_ds.num_classes,
+            image_size=(int(cfg.get("imgsz", 128)),) * 2,
+            patch_size=(int(cfg.get("patch", 16)),) * 2,
+            dim=int(cfg.get("dim", 256)),
+            depth=int(cfg.get("depth", 6)),
+            num_heads=int(cfg.get("heads", 8)),
+            dropout=float(cfg.get("dropout", 0.0)),
+            dtype=dtype,
+        )
+        sample = jnp.zeros(
+            (1, *self.model.image_size, int(cfg.get("channels", 1))), jnp.float32
+        )
+        variables = self.model.init(jax.random.key(int(cfg.get("seed", 0))), sample)
+        return variables["params"]
+
+    def loss_fn(self, params, batch, rng):
+        logits = self.model.apply(
+            {"params": params}, batch["image"], train=True, rngs={"dropout": rng}
+        )
+        labels = batch["label"]
+        ls = float(self.cfg.get("label_smoothing", 0.0))
+        one_hot = optax.smooth_labels(
+            jax.nn.one_hot(labels, logits.shape[-1]), ls
+        )
+        loss = optax.softmax_cross_entropy(logits, one_hot).mean()
+        acc = (logits.argmax(-1) == labels).mean()
+        return loss, {"acc": acc}
+
+    def validate(self, state) -> dict[str, float]:
+        params = state.ema_params if state.ema_params is not None else state.params
+
+        def eval_fn(p, batch):
+            logits = self.model.apply({"params": p}, batch["image"], train=False)
+            return {
+                "correct": (logits.argmax(-1) == batch["label"]).astype(jnp.float32),
+                "loss": optax.softmax_cross_entropy_with_integer_labels(
+                    logits, batch["label"]
+                ),
+            }
+
+        step = getattr(self, "_eval_step", None)
+        if step is None:
+            step = self._eval_step = make_eval_step(
+                lambda p, b: eval_fn(p, b), mesh=self.mesh
+            )
+        total, correct, loss_sum = 0, 0.0, 0.0
+        for batch in self.val_loader:
+            batch = shard_batch(batch, self.mesh)
+            out = step(params, batch)
+            correct += float(np.asarray(out["correct"]).sum())
+            loss_sum += float(np.asarray(out["loss"]).sum())
+            total += int(out["correct"].shape[0])
+        if total == 0:
+            return {}
+        acc = correct / total
+        return {"acc": acc, "loss": loss_sum / total, "fitness": acc}
+
+
+class ClassifyValidator:
+    """Standalone val entry: restore best/last ckpt and evaluate."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+
+    def run(self) -> dict:
+        trainer = ClassifyTrainer(self.cfg)
+        trainer.train_loader, trainer.val_loader = trainer.build_datasets()
+        params = trainer.build_model()
+        from kuzu.core.train import build_optimizer, init_state
+
+        state = init_state(params, build_optimizer(self.cfg), use_ema=True)
+        ckpt_dir = self.cfg.get("model")
+        if ckpt_dir and Path(str(ckpt_dir)).exists():
+            from kuzu.core.checkpoint import CheckpointManager
+
+            mgr = CheckpointManager(Path(str(ckpt_dir)))
+            name = "best" if mgr.exists("best") else "last"
+            state = mgr.restore(name, like=state)
+        return trainer.validate(state)
+
+
+register_task("classify", trainer=ClassifyTrainer, validator=ClassifyValidator)
