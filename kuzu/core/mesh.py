@@ -40,6 +40,15 @@ def make_mesh(
     return Mesh(arr, ("data", "model"))
 
 
+def auto_data_axis(batch: int, n_devices: int) -> int:
+    """Largest divisor of ``batch`` that is <= n_devices (so a global batch
+    shards evenly; the reference instead forces batch % WORLD_SIZE == 0)."""
+    for d in range(min(batch, n_devices), 0, -1):
+        if batch % d == 0:
+            return d
+    return 1
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for a batch pytree: leading axis split over ``data``."""
     return NamedSharding(mesh, P("data"))

@@ -40,15 +40,20 @@ class DataLoader:
         shuffle: bool = True,
         seed: int = 0,
         drop_last: bool = True,
+        pad_last: bool = False,
         collate_fn: Any = None,
         num_workers: int = 4,
         prefetch: int = 2,
     ):
+        """``pad_last``: instead of dropping/shrinking the final partial
+        batch, repeat samples up to ``batch_size`` and emit a ``sample_mask``
+        (1.0 for real rows) — keeps every batch shardable and shape-static."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
-        self.drop_last = drop_last
+        self.drop_last = drop_last and not pad_last
+        self.pad_last = pad_last
         self.collate = collate_fn or default_collate
         self.num_workers = max(num_workers, 0)
         self.prefetch = prefetch
@@ -68,16 +73,29 @@ class DataLoader:
             return rng.permutation(n)
         return np.arange(n)
 
-    def _batches(self) -> Iterator[np.ndarray]:
+    def _batches(self) -> Iterator[tuple[np.ndarray, int]]:
         order = self._index_order()
         n_batches = len(self)
         for b in range(n_batches):
-            yield order[b * self.batch_size : (b + 1) * self.batch_size]
+            idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+            n_real = len(idxs)
+            if self.pad_last and n_real < self.batch_size:
+                pad = np.resize(idxs, self.batch_size - n_real)
+                idxs = np.concatenate([idxs, pad])
+            yield idxs, n_real
+
+    def _finish(self, samples: list, n_real: int) -> dict[str, np.ndarray]:
+        batch = self.collate(samples)
+        if self.pad_last:
+            mask = np.zeros((len(samples),), np.float32)
+            mask[:n_real] = 1.0
+            batch["sample_mask"] = mask
+        return batch
 
     def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
         if self.num_workers == 0:
-            for idxs in self._batches():
-                yield self.collate([self.dataset[int(i)] for i in idxs])
+            for idxs, n_real in self._batches():
+                yield self._finish([self.dataset[int(i)] for i in idxs], n_real)
             return
 
         q: Queue = Queue(maxsize=self.prefetch)
@@ -88,11 +106,11 @@ class DataLoader:
                 from concurrent.futures import ThreadPoolExecutor
 
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for idxs in self._batches():
+                    for idxs, n_real in self._batches():
                         if stop.is_set():
                             return
                         samples = list(pool.map(self.dataset.__getitem__, map(int, idxs)))
-                        q.put(self.collate(samples))
+                        q.put(self._finish(samples, n_real))
             except BaseException as e:  # surface worker errors to the consumer
                 q.put(e)
                 return

@@ -124,12 +124,12 @@ class MultiHeadAttention(nn.Module):
             # self-attention decode: append this step's k/v into the cache
             cache_k = self.variable(
                 "cache",
-                "k",
+                "cached_k",
                 lambda: jnp.zeros((x.shape[0], self.max_len, h, head_dim), self.dtype),
             )
             cache_v = self.variable(
                 "cache",
-                "v",
+                "cached_v",
                 lambda: jnp.zeros((x.shape[0], self.max_len, h, head_dim), self.dtype),
             )
             k_all = jax.lax.dynamic_update_slice(

@@ -275,8 +275,8 @@ def beam_generate(
         new_scores, flat_idx = jax.lax.top_k(flat, k)  # (B, K)
         beam_idx = flat_idx // v
         tok_idx = (flat_idx % v).astype(jnp.int32)
-        # reorder state to the chosen source beams
-        cache = gather_beams(cache, beam_idx)
+        # reorder state to the chosen source beams (the *updated* cache)
+        cache = gather_beams(mut["cache"], beam_idx)
         tokens = jnp.take_along_axis(tokens, beam_idx[..., None], axis=1)
         done = jnp.take_along_axis(done, beam_idx, axis=1)
         tokens = tokens.at[:, :, step].set(jnp.where(done, 0, tok_idx))

@@ -41,9 +41,23 @@ class BaseTrainer:
         self.cfg = cfg
         self.callbacks = CallbackRegistry()
         mesh_cfg = cfg.get("mesh", {})
-        self.mesh = make_mesh(
-            int(mesh_cfg.get("data", -1)), int(mesh_cfg.get("model", 1))
-        )
+        import jax as _jax
+
+        from kuzu.core.mesh import auto_data_axis
+
+        data_ax = int(mesh_cfg.get("data", -1))
+        model_ax = int(mesh_cfg.get("model", 1))
+        n_dev = len(_jax.devices()) // max(model_ax, 1)
+        batch = int(cfg.get("batch", 16))
+        fit = auto_data_axis(batch, n_dev)
+        if data_ax == -1:
+            data_ax = fit
+        elif batch % data_ax != 0:
+            LOGGER.warning(
+                f"batch {batch} not divisible by mesh.data={data_ax}; using {fit}"
+            )
+            data_ax = fit
+        self.mesh = make_mesh(data_ax, model_ax)
         self.save_dir = self._setup_dir()
         self.ckpt = CheckpointManager(self.save_dir / "weights")
         self.csv = CSVLogger(self.save_dir / "results.csv")

@@ -46,7 +46,11 @@ class ClassifyTrainer(BaseTrainer):
             num_workers=int(cfg.get("workers", 4)),
         )
         val_loader = DataLoader(
-            self.val_ds, batch, shuffle=False, num_workers=int(cfg.get("workers", 4))
+            self.val_ds,
+            batch,
+            shuffle=False,
+            pad_last=True,
+            num_workers=int(cfg.get("workers", 4)),
         )
         return loader, val_loader
 
@@ -99,13 +103,14 @@ class ClassifyTrainer(BaseTrainer):
             step = self._eval_step = make_eval_step(
                 lambda p, b: eval_fn(p, b), mesh=self.mesh
             )
-        total, correct, loss_sum = 0, 0.0, 0.0
+        total, correct, loss_sum = 0.0, 0.0, 0.0
         for batch in self.val_loader:
+            mask = batch.pop("sample_mask", np.ones(len(batch["label"]), np.float32))
             batch = shard_batch(batch, self.mesh)
             out = step(params, batch)
-            correct += float(np.asarray(out["correct"]).sum())
-            loss_sum += float(np.asarray(out["loss"]).sum())
-            total += int(out["correct"].shape[0])
+            correct += float((np.asarray(out["correct"]) * mask).sum())
+            loss_sum += float((np.asarray(out["loss"]) * mask).sum())
+            total += float(mask.sum())
         if total == 0:
             return {}
         acc = correct / total

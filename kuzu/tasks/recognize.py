@@ -1,0 +1,226 @@
+"""Recognition task: TrOCR training + CER validation + prediction.
+
+Parity with the reference's ``scripts/train_trocr.py`` /
+``train_oneline_ocr.py`` paths: teacher-forced CE with pad masking
+(``src/models/trocr_model.py:258-292``), greedy/beam generation for val
+(``:303-316``), corpus CER fitness (``:400``), EMA weights for eval,
+bf16 compute.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from kuzu.api.model import register_task
+from kuzu.core.callbacks import LOGGER
+from kuzu.core.mesh import shard_batch
+from kuzu.data.loader import DataLoader
+from kuzu.data.ocr_datasets import (
+    ColumnInfoDataset,
+    OneLineDataset,
+    build_tokenizer_from_datasets,
+)
+from kuzu.data.tokenizer import CharTokenizer
+from kuzu.models.trocr import TrOCR, greedy_generate
+from kuzu.tasks.base import BaseTrainer
+
+
+def _image_size(cfg) -> tuple[int, int]:
+    v = cfg.get("imgsz", [1024, 64])
+    if isinstance(v, int):
+        return (v, v)
+    return (int(v[0]), int(v[1]))
+
+
+class RecognizeTrainer(BaseTrainer):
+    def build_datasets(self):
+        cfg = self.cfg
+        data = str(cfg.data)
+        size = _image_size(cfg)
+        max_len = int(cfg.get("max_label_length", 128))
+
+        tok_path = cfg.get("tokenizer")
+        tokenizer = CharTokenizer.load(tok_path) if tok_path else None
+
+        if data.endswith(".csv"):
+            make = lambda split, tok: ColumnInfoDataset(
+                data, tok, split=split, image_size=size, max_length=max_len
+            )
+        else:
+            make = lambda split, tok: OneLineDataset(
+                data, tok, split=split, image_size=size, max_length=max_len
+            )
+        if tokenizer is None:
+            probe = make("train", None)
+            tokenizer = build_tokenizer_from_datasets(probe)
+        self.tokenizer = tokenizer
+        tokenizer.save(self.save_dir / "tokenizer.json")
+        self.train_ds = make("train", tokenizer)
+        self.val_ds = make("val", tokenizer)
+        if len(self.val_ds) == 0:
+            self.val_ds = self.train_ds
+        batch = int(cfg.get("batch", 16))
+        return (
+            DataLoader(
+                self.train_ds,
+                batch,
+                shuffle=True,
+                seed=int(cfg.get("seed", 0)),
+                num_workers=int(cfg.get("workers", 4)),
+            ),
+            DataLoader(
+                self.val_ds,
+                batch,
+                shuffle=False,
+                pad_last=True,
+                num_workers=int(cfg.get("workers", 4)),
+            ),
+        )
+
+    def build_model(self) -> Any:
+        cfg = self.cfg
+        size = _image_size(cfg)
+        dtype = jnp.bfloat16 if cfg.get("dtype") == "bfloat16" else jnp.float32
+        self.model = TrOCR(
+            vocab_size=len(self.tokenizer),
+            image_size=size,
+            patch_size=(int(cfg.get("patch", 16)),) * 2,
+            enc_dim=int(cfg.get("enc_dim", 384)),
+            enc_depth=int(cfg.get("enc_depth", 6)),
+            enc_heads=int(cfg.get("enc_heads", 6)),
+            dec_dim=int(cfg.get("dec_dim", 256)),
+            dec_depth=int(cfg.get("dec_depth", 4)),
+            dec_heads=int(cfg.get("dec_heads", 8)),
+            max_len=int(cfg.get("max_label_length", 128)),
+            dropout=float(cfg.get("dropout", 0.0)),
+            dtype=dtype,
+        )
+        images = jnp.zeros((1, *size, 3), jnp.float32)
+        tokens = jnp.zeros((1, 8), jnp.int32)
+        variables = self.model.init(
+            jax.random.key(int(cfg.get("seed", 0))), images, tokens
+        )
+        return variables["params"]
+
+    def loss_fn(self, params, batch, rng):
+        tokens = batch["tokens"]  # (B, L) = <s> text </s> pad...
+        inputs = tokens[:, :-1]
+        targets = tokens[:, 1:]
+        logits = self.model.apply(
+            {"params": params},
+            batch["image"],
+            inputs,
+            train=True,
+            rngs={"dropout": rng},
+        )
+        pad = self.tokenizer.pad_id
+        mask = (targets != pad).astype(jnp.float32)
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
+        loss = (ce * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+        acc = (((logits.argmax(-1) == targets) * mask).sum()) / jnp.maximum(
+            mask.sum(), 1.0
+        )
+        return loss, {"token_acc": acc}
+
+    def validate(self, state) -> dict[str, float]:
+        params = state.ema_params if state.ema_params is not None else state.params
+        tok = self.tokenizer
+        max_gen = int(self.cfg.get("max_label_length", 128))
+        preds: list[str] = []
+        refs: list[str] = []
+        max_batches = int(self.cfg.get("val_gen_batches", 8))
+        for bi, batch in enumerate(self.val_loader):
+            if bi >= max_batches:
+                break
+            n_real = int(batch.get("sample_mask", np.ones(len(batch["image"]))).sum())
+            images = jnp.asarray(batch["image"])
+            out = greedy_generate(
+                self.model,
+                params,
+                images,
+                max_len=max_gen,
+                bos_id=tok.bos_id,
+                eos_id=tok.eos_id,
+            )
+            preds.extend(tok.batch_decode(np.asarray(out)[:n_real]))
+            refs.extend(tok.batch_decode(np.asarray(batch["tokens"])[:n_real, 1:]))
+        if not refs:
+            return {}
+        from kuzu.core.metrics import character_error_rate
+
+        cer = character_error_rate(preds, refs)
+        if self.cfg.get("verbose", True) and preds:
+            LOGGER.info(f"  sample: pred={preds[0]!r} ref={refs[0]!r}")
+        return {"cer": cer, "fitness": 1.0 - cer}
+
+
+class RecognizePredictor:
+    """Batched page-column -> text prediction with a restored checkpoint."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.ready = False
+
+    def _setup(self):
+        from kuzu.core.checkpoint import CheckpointManager
+        from kuzu.core.config import load_config
+
+        run_dir = Path(str(self.cfg.get("model")))
+        args = run_dir / "args.yaml"
+        train_cfg = load_config(args if args.exists() else None)
+        self.tokenizer = CharTokenizer.load(run_dir / "tokenizer.json")
+        size = _image_size(train_cfg)
+        self.image_size = size
+        self.model = TrOCR(
+            vocab_size=len(self.tokenizer),
+            image_size=size,
+            patch_size=(int(train_cfg.get("patch", 16)),) * 2,
+            enc_dim=int(train_cfg.get("enc_dim", 384)),
+            enc_depth=int(train_cfg.get("enc_depth", 6)),
+            enc_heads=int(train_cfg.get("enc_heads", 6)),
+            dec_dim=int(train_cfg.get("dec_dim", 256)),
+            dec_depth=int(train_cfg.get("dec_depth", 4)),
+            dec_heads=int(train_cfg.get("dec_heads", 8)),
+            max_len=int(train_cfg.get("max_label_length", 128)),
+        )
+        images = jnp.zeros((1, *size, 3), jnp.float32)
+        tokens = jnp.zeros((1, 8), jnp.int32)
+        params = self.model.init(jax.random.key(0), images, tokens)["params"]
+        mgr = CheckpointManager(run_dir / "weights")
+        name = "best" if mgr.exists("best") else "last"
+        from kuzu.core.train import build_optimizer, init_state
+
+        state = init_state(params, build_optimizer(train_cfg), use_ema=True)
+        state = mgr.restore(name, like=state)
+        self.params = (
+            state.ema_params if state.ema_params is not None else state.params
+        )
+        self.ready = True
+
+    def __call__(self, source) -> list[str]:
+        if not self.ready:
+            self._setup()
+        from kuzu.data.ocr_datasets import load_letterboxed
+
+        paths = [source] if isinstance(source, (str, Path)) else list(source)
+        images = np.stack([load_letterboxed(p, *self.image_size) for p in paths])
+        out = greedy_generate(
+            self.model,
+            self.params,
+            jnp.asarray(images),
+            max_len=self.model.max_len,
+            bos_id=self.tokenizer.bos_id,
+            eos_id=self.tokenizer.eos_id,
+        )
+        return self.tokenizer.batch_decode(np.asarray(out))
+
+
+register_task(
+    "recognize", trainer=RecognizeTrainer, predictor=RecognizePredictor
+)
