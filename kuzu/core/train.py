@@ -33,6 +33,7 @@ class TrainState:
     params: Any
     opt_state: Any
     ema_params: Any  # None when EMA disabled
+    model_state: Any = None  # mutable collections (e.g. batch_stats)
 
     def replace(self, **kw: Any) -> "TrainState":
         return dataclasses.replace(self, **kw)
@@ -118,24 +119,29 @@ def ema_update(ema: Any, params: Any, d: jnp.ndarray) -> Any:
 
 
 def init_state(
-    params: Any, tx: optax.GradientTransformation, use_ema: bool = True
+    params: Any,
+    tx: optax.GradientTransformation,
+    use_ema: bool = True,
+    model_state: Any = None,
 ) -> TrainState:
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
         ema_params=jax.tree.map(jnp.copy, params) if use_ema else None,
+        model_state=model_state,
     )
 
 
 def make_train_step(
-    loss_fn: Callable[[Any, Any, jax.Array], tuple[jnp.ndarray, dict]],
+    loss_fn: Callable[..., tuple[jnp.ndarray, dict]],
     tx: optax.GradientTransformation,
     mesh: Mesh | None = None,
     ema_decay: float = 0.9999,
     ema_tau: float = 2000.0,
     accumulate: int = 1,
     donate: bool = True,
+    has_model_state: bool = False,
 ):
     """Build the jitted train step.
 
@@ -143,7 +149,59 @@ def make_train_step(
     batch; under the mesh the batch arrives sharded on axis 0 and XLA derives
     the gradient all-reduce. ``accumulate > 1`` folds micro-batches with a
     `lax.scan` (reference: ``accumulate = nbs/batch`` step-skipping).
+
+    With ``has_model_state=True`` the signature becomes
+    ``loss_fn(params, model_state, batch, rng) -> (loss, (metrics, new_state))``
+    — used by models with BatchNorm running stats; under a sharded batch XLA
+    reduces the batch statistics across devices automatically (free SyncBN,
+    vs. the reference's rank-0 buffer broadcast).
     """
+    if has_model_state:
+        inner = loss_fn
+
+        def _plain(params, batch, rng, model_state):
+            loss, (metrics, new_state) = inner(params, model_state, batch, rng)
+            return loss, (metrics, new_state)
+
+        grad_fn_ms = jax.value_and_grad(_plain, has_aux=True)
+
+        def step_fn(state: TrainState, batch: Any, rng: jax.Array):
+            (loss, (metrics, new_model_state)), grads = grad_fn_ms(
+                state.params, batch, rng, state.model_state
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_step = state.step + 1
+            if state.ema_params is not None:
+                d = ema_decay_at(new_step, ema_decay, ema_tau)
+                ema_params = ema_update(state.ema_params, params, d)
+            else:
+                ema_params = None
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return (
+                TrainState(
+                    step=new_step,
+                    params=params,
+                    opt_state=opt_state,
+                    ema_params=ema_params,
+                    model_state=new_model_state,
+                ),
+                metrics,
+            )
+
+        if mesh is not None:
+            repl = NamedSharding(mesh, P())
+            data_sh = NamedSharding(mesh, P("data"))
+            return jax.jit(
+                step_fn,
+                in_shardings=(repl, data_sh, repl),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,) if donate else (),
+            )
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def step_fn(state: TrainState, batch: Any, rng: jax.Array):

@@ -1,0 +1,103 @@
+"""Detector wrapper: graph forward + anchor-free decode (DFL -> boxes).
+
+Splits the reference ``Detect._inference`` (``nn/modules/head.py:98-137``)
+out of the head so train and inference share one graph forward:
+- ``forward`` returns per-level raw maps (B, H, W, 4*reg_max + nc);
+- ``decode`` flattens levels, applies DFL expectation and ``dist2bbox`` with
+  static anchors/strides, sigmoid on class logits, producing the
+  (B, 4 + nc, A) tensor ``kuzu.ops.nms.non_max_suppression`` consumes.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kuzu.models.yolo.graph import (
+    GraphSpec,
+    YoloGraph,
+    parse_model_yaml,
+    resolve_model_spec,
+)
+from kuzu.models.yolo.modules import dfl_expectation
+from kuzu.ops.anchors import dist2bbox, make_anchors
+
+REG_MAX = 16
+
+
+class YoloDetector:
+    """Stateless convenience wrapper bundling spec + flax module."""
+
+    def __init__(
+        self,
+        model: str | GraphSpec,
+        nc: int | None = None,
+        dtype: Any = jnp.float32,
+        imgsz: int = 640,
+    ):
+        if isinstance(model, GraphSpec):
+            self.spec = model
+        else:
+            path, scale = resolve_model_spec(str(model))
+            self.spec = parse_model_yaml(path, scale=scale, nc=nc)
+        self.module = YoloGraph(self.spec, dtype=dtype)
+        self.imgsz = imgsz
+        self.strides = list(self.spec.strides)
+        self.nc = self.spec.nc
+
+    # ------------------------------------------------------------ lifecycle
+    def init(self, rng: jax.Array, imgsz: int | None = None) -> dict:
+        s = imgsz or self.imgsz
+        dummy = jnp.zeros((1, s, s, 3), jnp.float32)
+        return self.module.init(rng, dummy, train=False)
+
+    def apply(
+        self,
+        variables: dict,
+        images: jnp.ndarray,
+        train: bool = False,
+        mutable: list | bool = False,
+        rngs: dict | None = None,
+    ):
+        return self.module.apply(
+            variables, images, train=train, mutable=mutable, rngs=rngs
+        )
+
+    # ------------------------------------------------------------- helpers
+    def feat_shapes(self, imgsz: int) -> list[tuple[int, int]]:
+        return [(imgsz // s, imgsz // s) for s in self.strides]
+
+    def anchors(self, imgsz: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(anchor_points (A, 2) grid units, strides (A, 1))."""
+        return make_anchors(self.feat_shapes(imgsz), self.strides)
+
+    def flatten_feats(
+        self, feats: list[jnp.ndarray]
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Per-level maps -> (box_dist (B, A, 4*reg_max), cls (B, A, nc))."""
+        flat = []
+        for f in feats:
+            b, h, w, c = f.shape
+            flat.append(f.reshape(b, h * w, c))
+        cat = jnp.concatenate(flat, axis=1)
+        return cat[..., : 4 * REG_MAX], cat[..., 4 * REG_MAX :]
+
+    def decode(
+        self, feats: list[jnp.ndarray], imgsz: int | None = None
+    ) -> jnp.ndarray:
+        """Raw maps -> (B, 4 + nc, A): xywh pixel boxes + sigmoid scores."""
+        box_dist, cls = self.flatten_feats(feats)
+        imgsz = imgsz or (feats[0].shape[1] * self.strides[0])
+        anchor_points, stride_t = self.anchors(imgsz)
+        dist = dfl_expectation(box_dist, REG_MAX)  # (B, A, 4)
+        boxes = dist2bbox(dist, anchor_points[None], xywh=True) * stride_t[None]
+        pred = jnp.concatenate(
+            [boxes, jax.nn.sigmoid(cls.astype(jnp.float32))], axis=-1
+        )
+        return jnp.transpose(pred, (0, 2, 1))
+
+    def param_count(self, variables: dict) -> int:
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))

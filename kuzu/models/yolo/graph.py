@@ -1,0 +1,223 @@
+"""YAML model-graph compiler: spec -> flax module graph.
+
+The rebuild of the reference's ``parse_model``
+(``yolov12/ultralytics/nn/tasks.py:933``): a model yaml lists
+``[from, repeats, module, args]`` rows for backbone+head; compound scaling
+(depth/width/max_channels per scale letter) resizes repeats and channels;
+channels and strides are propagated statically through the graph (the
+reference calibrates stride with a dummy forward — here the graph is
+closed-form, so strides come out of the spec itself).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import jax.numpy as jnp
+import yaml
+from flax import linen as nn
+
+from kuzu.models.yolo import modules as M
+
+MODEL_DIR = Path(__file__).resolve().parent.parent.parent / "cfg" / "models"
+
+
+def make_divisible(x: float, divisor: int = 8) -> int:
+    return int(math.ceil(x / divisor) * divisor)
+
+
+@dataclass
+class NodeSpec:
+    index: int
+    frm: list[int]  # absolute input indices (-1 resolved)
+    module: str
+    args: list[Any]
+    c_out: int
+    stride: int
+    repeats: int = 1
+
+
+@dataclass
+class GraphSpec:
+    nc: int
+    scale: str
+    nodes: list[NodeSpec]
+    save: list[int]  # indices whose outputs later nodes consume
+    detect_ch: list[int] = field(default_factory=list)
+    strides: list[int] = field(default_factory=list)
+
+
+def parse_model_yaml(
+    path_or_dict: str | Path | dict, scale: str | None = None, nc: int | None = None
+) -> GraphSpec:
+    if isinstance(path_or_dict, (str, Path)):
+        with open(path_or_dict) as f:
+            d = yaml.safe_load(f)
+    else:
+        d = dict(path_or_dict)
+    scales = d.get("scales", {})
+    scale = scale or d.get("scale") or (next(iter(scales)) if scales else "n")
+    depth, width, max_ch = scales.get(scale, (1.0, 1.0, float("inf")))
+    nc = nc if nc is not None else int(d.get("nc", 80))
+
+    rows = list(d["backbone"]) + list(d["head"])
+    nodes: list[NodeSpec] = []
+    ch: list[int] = []  # output channels per node
+    strides: list[int] = []
+    save: set[int] = set()
+    detect_ch: list[int] = []
+    det_strides: list[int] = []
+
+    for i, (frm, n, mod, args) in enumerate(rows):
+        frm_list = [frm] if isinstance(frm, int) else list(frm)
+        frm_abs = [(i + f) if f < 0 else f for f in frm_list]
+        for f in frm_abs:
+            if f != i - 1:
+                save.add(f)
+        n_scaled = max(round(n * depth), 1) if n > 1 else n
+        args = list(args)
+
+        c_in = ch[frm_abs[0]] if ch else 3
+        s_in = strides[frm_abs[0]] if strides else 1
+
+        if mod in ("Conv", "DWConv"):
+            c2 = make_divisible(min(args[0], max_ch) * width)
+            s = args[2] if len(args) > 2 else 1
+            nodes.append(
+                NodeSpec(i, frm_abs, mod, [c2] + args[1:], c2, s_in * s, n_scaled)
+            )
+        elif mod in ("C3k2",):
+            c2 = make_divisible(min(args[0], max_ch) * width)
+            c3k = bool(args[1]) if len(args) > 1 else False
+            if scale in "mlx":
+                c3k = True
+            e = float(args[2]) if len(args) > 2 else 0.5
+            nodes.append(
+                NodeSpec(i, frm_abs, mod, [c2, c3k, e], c2, s_in, n_scaled)
+            )
+        elif mod == "A2C2f":
+            c2 = make_divisible(min(args[0], max_ch) * width)
+            a2 = bool(args[1]) if len(args) > 1 else True
+            area = int(args[2]) if len(args) > 2 else 1
+            residual, mlp_ratio = False, 2.0
+            if scale in "lx":
+                residual, mlp_ratio = True, 1.5
+            nodes.append(
+                NodeSpec(
+                    i, frm_abs, mod, [c2, a2, area, residual, mlp_ratio],
+                    c2, s_in, n_scaled,
+                )
+            )
+        elif mod == "SPPF":
+            c2 = make_divisible(min(args[0], max_ch) * width)
+            k = int(args[1]) if len(args) > 1 else 5
+            nodes.append(NodeSpec(i, frm_abs, mod, [c2, k], c2, s_in, 1))
+        elif mod in ("Upsample", "nn.Upsample"):
+            nodes.append(NodeSpec(i, frm_abs, "Upsample", [], c_in, s_in // 2, 1))
+        elif mod == "Concat":
+            c2 = sum(ch[f] for f in frm_abs)
+            nodes.append(NodeSpec(i, frm_abs, mod, [], c2, s_in, 1))
+        elif mod == "Detect":
+            detect_ch = [ch[f] for f in frm_abs]
+            det_strides = [strides[f] for f in frm_abs]
+            nodes.append(NodeSpec(i, frm_abs, mod, [nc], 0, s_in, 1))
+            save.update(frm_abs)
+        else:
+            raise ValueError(f"unknown module '{mod}' in model yaml")
+        ch.append(nodes[-1].c_out)
+        strides.append(nodes[-1].stride)
+
+    return GraphSpec(
+        nc=nc,
+        scale=scale,
+        nodes=nodes,
+        save=sorted(save),
+        detect_ch=detect_ch,
+        strides=det_strides,
+    )
+
+
+def resolve_model_spec(name: str) -> tuple[Path, str | None]:
+    """'yolov12n' -> (yolov12.yaml path, 'n'); explicit .yaml passes through."""
+    p = Path(name)
+    if p.suffix == ".yaml":
+        if p.exists():
+            return p, None
+        cand = MODEL_DIR / p.name
+        if cand.exists():
+            return cand, None
+        raise FileNotFoundError(f"no model yaml '{name}' (looked in {MODEL_DIR})")
+    stem = name
+    if stem and stem[-1] in "nsmlx":
+        base = MODEL_DIR / f"{stem[:-1]}.yaml"
+        if base.exists():
+            return base, stem[-1]
+    cand = MODEL_DIR / f"{stem}.yaml"
+    if cand.exists():
+        return cand, None
+    raise FileNotFoundError(f"no model yaml for '{name}' (looked in {MODEL_DIR})")
+
+
+class YoloGraph(nn.Module):
+    """Executes a parsed GraphSpec; returns per-level Detect raw maps."""
+
+    spec: GraphSpec
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> list[jnp.ndarray]:
+        outputs: dict[int, jnp.ndarray] = {}
+        cur = x
+        result = None
+        for node in self.spec.nodes:
+            ins = [cur if f == node.index - 1 else outputs[f] for f in node.frm]
+            m, a = node.module, node.args
+            name = f"n{node.index}_{m}"
+            if m == "Conv":
+                cur = ins[0]
+                for r in range(node.repeats):
+                    cur = M.Conv(
+                        a[0], *(a[1:]), dtype=self.dtype, name=f"{name}_{r}"
+                    )(cur, train=train) if node.repeats > 1 else M.Conv(
+                        a[0], *a[1:], dtype=self.dtype, name=name
+                    )(cur, train=train)
+                    if node.repeats == 1:
+                        break
+            elif m == "DWConv":
+                cur = M.DWConv(a[0], *a[1:], dtype=self.dtype, name=name)(
+                    ins[0], train=train
+                )
+            elif m == "C3k2":
+                cur = M.C3k2(
+                    a[0], n=node.repeats, c3k=a[1], e=a[2],
+                    dtype=self.dtype, name=name,
+                )(ins[0], train=train)
+            elif m == "A2C2f":
+                cur = M.A2C2f(
+                    a[0], n=node.repeats, a2=a[1], area=a[2],
+                    residual=a[3], mlp_ratio=a[4],
+                    dtype=self.dtype, name=name,
+                )(ins[0], train=train)
+            elif m == "SPPF":
+                cur = M.SPPF(a[0], a[1], dtype=self.dtype, name=name)(
+                    ins[0], train=train
+                )
+            elif m == "Upsample":
+                cur = M.upsample2x(ins[0])
+            elif m == "Concat":
+                cur = jnp.concatenate(ins, axis=-1)
+            elif m == "Detect":
+                result = M.Detect(
+                    nc=self.spec.nc,
+                    ch=tuple(self.spec.detect_ch),
+                    dtype=self.dtype,
+                    name=name,
+                )(ins, train=train)
+                cur = ins[0]
+            if node.index in self.spec.save:
+                outputs[node.index] = cur
+        assert result is not None, "model yaml has no Detect node"
+        return result

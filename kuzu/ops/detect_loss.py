@@ -1,0 +1,117 @@
+"""v8-style detection loss: BCE cls + CIoU box + DFL, TAL-assigned.
+
+Semantics parity with the reference ``v8DetectionLoss`` / ``BboxLoss`` /
+``DFLoss`` (``yolov12/ultralytics/utils/loss.py:65-262``): class BCE against
+task-aligned soft targets normalized by total target score; CIoU loss and
+distribution-focal loss on foreground anchors weighted by their target
+scores. Targets arrive padded (B, M, 4) + mask — no ragged preprocessing.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from kuzu.ops.anchors import bbox2dist, dist2bbox, make_anchors
+from kuzu.ops.assigner import task_aligned_assign
+from kuzu.ops.boxes import bbox_iou
+from kuzu.models.yolo.modules import dfl_expectation
+
+REG_MAX = 16
+
+
+def _dfl_loss(
+    pred_dist: jnp.ndarray,  # (N, 4, reg_max) logits
+    target: jnp.ndarray,  # (N, 4) continuous distances in [0, reg_max-1)
+) -> jnp.ndarray:
+    """Distribution focal loss: CE against the two integer bins around the
+    target, linearly weighted (reference ``DFLoss.__call__``)."""
+    tl = jnp.floor(target).astype(jnp.int32)
+    tr = tl + 1
+    wl = tr.astype(target.dtype) - target
+    wr = 1.0 - wl
+    tl = jnp.clip(tl, 0, REG_MAX - 1)
+    tr = jnp.clip(tr, 0, REG_MAX - 1)
+    ce_l = optax.softmax_cross_entropy_with_integer_labels(pred_dist, tl)
+    ce_r = optax.softmax_cross_entropy_with_integer_labels(pred_dist, tr)
+    return (ce_l * wl + ce_r * wr).mean(-1)  # (N,)
+
+
+@partial(jax.jit, static_argnames=("nc", "imgsz", "strides", "topk"))
+def detection_loss(
+    feats: Sequence[jnp.ndarray],  # per-level raw maps (B, H, W, 4*reg_max+nc)
+    gt_labels: jnp.ndarray,  # (B, M) int32
+    gt_bboxes: jnp.ndarray,  # (B, M, 4) xyxy pixels
+    mask_gt: jnp.ndarray,  # (B, M) bool
+    nc: int,
+    imgsz: int,
+    strides: tuple[int, ...],
+    box_w: float = 7.5,
+    cls_w: float = 0.5,
+    dfl_w: float = 1.5,
+    topk: int = 10,
+) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
+    B = feats[0].shape[0]
+    flat = [f.reshape(B, -1, f.shape[-1]) for f in feats]
+    cat = jnp.concatenate(flat, axis=1).astype(jnp.float32)  # (B, A, no)
+    pred_dist = cat[..., : 4 * REG_MAX]
+    pred_logits = cat[..., 4 * REG_MAX :]
+
+    feat_shapes = [(imgsz // s, imgsz // s) for s in strides]
+    anchor_points, stride_t = make_anchors(feat_shapes, list(strides))  # grid units
+
+    # decode predicted boxes in grid units, then pixels for the assigner
+    dist = dfl_expectation(pred_dist, REG_MAX)
+    pred_bboxes = dist2bbox(dist, anchor_points[None], xywh=False)  # grid units
+    pred_bboxes_px = pred_bboxes * stride_t[None]
+    anc_px = anchor_points * stride_t
+
+    pd_scores = jax.nn.sigmoid(pred_logits)
+    assign = task_aligned_assign(
+        jax.lax.stop_gradient(pd_scores),
+        jax.lax.stop_gradient(pred_bboxes_px),
+        anc_px,
+        gt_labels,
+        gt_bboxes,
+        mask_gt,
+        topk=topk,
+        num_classes=nc,
+    )
+    target_scores = assign["target_scores"]
+    fg = assign["fg_mask"]
+    target_bboxes_px = assign["target_bboxes"]
+
+    score_sum = jnp.maximum(target_scores.sum(), 1.0)
+
+    # classification BCE over all anchors
+    cls_loss = (
+        optax.sigmoid_binary_cross_entropy(pred_logits, target_scores).sum()
+        / score_sum
+    )
+
+    # box + dfl on foreground
+    weight = target_scores.sum(-1) * fg  # (B, A)
+    iou = bbox_iou(pred_bboxes_px, target_bboxes_px, ciou=True)  # (B, A)
+    box_loss = ((1.0 - iou) * weight).sum() / score_sum
+
+    target_dist = bbox2dist(
+        target_bboxes_px / stride_t[None], anchor_points[None], REG_MAX
+    )  # (B, A, 4) grid units
+    dfl = _dfl_loss(
+        pred_dist.reshape(-1, 4, REG_MAX),
+        target_dist.reshape(-1, 4),
+    ).reshape(B, -1)
+    dfl_loss = (dfl * weight).sum() / score_sum
+
+    total = box_w * box_loss + cls_w * cls_loss + dfl_w * dfl_loss
+    metrics = {
+        "box_loss": box_loss,
+        "cls_loss": cls_loss,
+        "dfl_loss": dfl_loss,
+        "num_fg": fg.sum().astype(jnp.float32) / B,
+    }
+    return total, metrics

@@ -1,0 +1,129 @@
+"""Overlap tiling: split pages into 2x2 / 3x3 tiles and merge detections.
+
+Parity with the reference ``MultiGridProcessor``
+(``src/utils/quadrant_processor.py:51-116``): normalized grid cells of size
+1/g with interior edges extended by overlap/2 (default 15%), annotation
+coordinate rewrite, and fully-contained-box filtering for dataset conversion.
+Inference-side merge maps per-tile padded detections back to the page frame
+and runs one cross-tile NMS — this is the rebuild's "long-context" mechanism
+for high-resolution pages (SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from kuzu.data.yolo_dataset import letterbox_np
+
+
+def grid_bounds(grid: int, overlap: float = 0.15) -> list[tuple[float, float, float, float]]:
+    """Normalized (x1, y1, x2, y2) per tile, row-major."""
+    tile = 1.0 / grid
+    half = overlap / 2.0
+    out = []
+    for row in range(grid):
+        for col in range(grid):
+            x1 = col * tile - (half if col > 0 else 0.0)
+            y1 = row * tile - (half if row > 0 else 0.0)
+            x2 = (col + 1) * tile + (half if col < grid - 1 else 0.0)
+            y2 = (row + 1) * tile + (half if row < grid - 1 else 0.0)
+            out.append((max(x1, 0.0), max(y1, 0.0), min(x2, 1.0), min(y2, 1.0)))
+    return out
+
+
+def tile_image(
+    image: np.ndarray, grid: int = 2, overlap: float = 0.15, tile_size: int = 640
+) -> tuple[np.ndarray, list[dict]]:
+    """Split an (H, W, 3) page into letterboxed tiles.
+
+    Returns (tiles (G*G, S, S, 3) float32 [0,1], metas) where each meta holds
+    the tile's page-frame origin and the letterbox gain/pad for rescaling.
+    """
+    h, w = image.shape[:2]
+    tiles, metas = [], []
+    for x1, y1, x2, y2 in grid_bounds(grid, overlap):
+        px1, py1 = int(x1 * w), int(y1 * h)
+        px2, py2 = int(x2 * w), int(y2 * h)
+        crop = image[py1:py2, px1:px2]
+        canvas, gain, (pad_x, pad_y) = letterbox_np(
+            (crop * 255).astype(np.uint8) if crop.dtype != np.uint8 else crop,
+            tile_size,
+        )
+        tiles.append(canvas.astype(np.float32) / 255.0)
+        metas.append(
+            {"origin": (px1, py1), "gain": gain, "pad": (pad_x, pad_y)}
+        )
+    return np.stack(tiles), metas
+
+
+def rewrite_boxes_for_tile(
+    boxes: np.ndarray,  # (N, 4) xyxy page pixels
+    tile_bound_px: tuple[int, int, int, int],
+    require_contained: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Map page boxes into one tile's frame; keep fully-contained boxes
+    (reference dataset-conversion behavior). Returns (tile_boxes, keep_mask)."""
+    x1, y1, x2, y2 = tile_bound_px
+    if require_contained:
+        keep = (
+            (boxes[:, 0] >= x1)
+            & (boxes[:, 1] >= y1)
+            & (boxes[:, 2] <= x2)
+            & (boxes[:, 3] <= y2)
+        )
+    else:
+        keep = (boxes[:, 2] > x1) & (boxes[:, 0] < x2) & (boxes[:, 3] > y1) & (boxes[:, 1] < y2)
+    out = boxes.copy()
+    out[:, [0, 2]] -= x1
+    out[:, [1, 3]] -= y1
+    return out, keep
+
+
+def merge_tile_detections(
+    per_tile: list[dict],  # each: {boxes (K,4), scores (K,), classes (K,), valid (K,)}
+    metas: list[dict],
+    iou_thres: float = 0.55,
+    max_det: int = 2000,
+) -> dict[str, np.ndarray]:
+    """Per-tile padded detections -> page frame -> cross-tile NMS."""
+    import jax.numpy as jnp
+
+    from kuzu.ops.nms import nms_padded
+
+    all_boxes, all_scores, all_classes = [], [], []
+    for det, meta in zip(per_tile, metas):
+        v = np.asarray(det["valid"], bool)
+        boxes = np.asarray(det["boxes"])[v]
+        pad_x, pad_y = meta["pad"]
+        boxes = (boxes - [pad_x, pad_y, pad_x, pad_y]) / meta["gain"]
+        ox, oy = meta["origin"]
+        boxes += [ox, oy, ox, oy]
+        all_boxes.append(boxes)
+        all_scores.append(np.asarray(det["scores"])[v])
+        all_classes.append(np.asarray(det["classes"])[v])
+    if not all_boxes or sum(len(b) for b in all_boxes) == 0:
+        return {
+            "boxes": np.zeros((0, 4), np.float32),
+            "scores": np.zeros((0,), np.float32),
+            "classes": np.zeros((0,), np.int32),
+        }
+    boxes = np.concatenate(all_boxes).astype(np.float32)
+    scores = np.concatenate(all_scores).astype(np.float32)
+    classes = np.concatenate(all_classes).astype(np.int32)
+    n = len(boxes)
+    ob, os_, oc, ov = nms_padded(
+        jnp.asarray(boxes),
+        jnp.asarray(scores),
+        jnp.asarray(classes),
+        jnp.ones((n,), bool),
+        iou_threshold=iou_thres,
+        score_threshold=0.0,
+        max_det=min(max_det, n),
+        max_nms=n,
+    )
+    ov = np.asarray(ov)
+    return {
+        "boxes": np.asarray(ob)[ov],
+        "scores": np.asarray(os_)[ov],
+        "classes": np.asarray(oc)[ov],
+    }

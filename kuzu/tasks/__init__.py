@@ -2,6 +2,8 @@
 facade (parity with the reference's ``task_map``)."""
 
 import kuzu.tasks.classify  # noqa: F401
+import kuzu.tasks.detect  # noqa: F401
+import kuzu.tasks.lm  # noqa: F401
 import kuzu.tasks.recognize  # noqa: F401
 
 __all__ = []

@@ -109,7 +109,12 @@ class BaseTrainer:
 
         tx = build_optimizer(cfg, steps_per_epoch)
         use_ema = bool(cfg.get("ema", True))
-        self.state = init_state(params, tx, use_ema=use_ema)
+        model_state = (
+            self._init_model_state() if hasattr(self, "_init_model_state") else None
+        )
+        self.state = init_state(
+            params, tx, use_ema=use_ema, model_state=model_state
+        )
         accumulate = max(int(cfg.get("accumulate", 1)), 1)
         self._step = make_train_step(
             self.loss_fn,
@@ -118,6 +123,7 @@ class BaseTrainer:
             ema_decay=float(cfg.get("ema_decay", 0.9999)),
             ema_tau=float(cfg.get("ema_tau", 2000)),
             accumulate=accumulate,
+            has_model_state=model_state is not None,
         )
 
         start_epoch = 0

@@ -1,0 +1,304 @@
+"""Detection task: YOLOv12 training, mAP validation, NMS prediction.
+
+Parity with the reference detect stack: ``DetectionTrainer`` /
+``DetectionValidator`` / ``DetectionPredictor``
+(``yolov12/ultralytics/models/yolo/detect/*``, driven by
+``scripts/train_character_detection.py``): v8 loss over TAL assignment,
+mAP50/50-95 fitness, padded NMS predict with box rescaling to the source
+frame, EMA weights for eval, bf16 compute on the MXU.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kuzu.api.model import register_task
+from kuzu.core.callbacks import LOGGER
+from kuzu.core.metrics import DetMetrics
+from kuzu.data.loader import DataLoader
+from kuzu.data.yolo_dataset import YoloDetectionDataset, letterbox_np, load_dataset_yaml
+from kuzu.models.yolo.detector import YoloDetector
+from kuzu.ops.detect_loss import detection_loss
+from kuzu.ops.nms import non_max_suppression
+from kuzu.tasks.base import BaseTrainer
+
+
+class DetectTrainer(BaseTrainer):
+    def build_datasets(self):
+        cfg = self.cfg
+        imgsz = int(cfg.get("imgsz", 640))
+        max_boxes = int(cfg.get("max_boxes", 300))
+        hyp = {
+            k: float(cfg.get(k))
+            for k in (
+                "mosaic", "fliplr", "flipud", "hsv_h", "hsv_s", "hsv_v",
+                "degrees", "translate", "scale",
+            )
+            if cfg.get(k) is not None
+        }
+        self.data_spec = load_dataset_yaml(cfg.data)
+        self.train_ds = YoloDetectionDataset(
+            self.data_spec,
+            split="train",
+            imgsz=imgsz,
+            max_boxes=max_boxes,
+            augment=bool(cfg.get("augment", True)),
+            hyp=hyp,
+            seed=int(cfg.get("seed", 0)),
+        )
+        try:
+            self.val_ds = YoloDetectionDataset(
+                self.data_spec, split="val", imgsz=imgsz,
+                max_boxes=max_boxes, augment=False,
+            )
+        except FileNotFoundError:
+            self.val_ds = YoloDetectionDataset(
+                self.data_spec, split="train", imgsz=imgsz,
+                max_boxes=max_boxes, augment=False,
+            )
+        batch = int(cfg.get("batch", 16))
+        workers = int(cfg.get("workers", 4))
+        train_loader = _EpochLoader(
+            self.train_ds, batch, seed=int(cfg.get("seed", 0)), num_workers=workers
+        )
+        val_loader = DataLoader(
+            self.val_ds, batch, shuffle=False, pad_last=True, num_workers=workers
+        )
+        return train_loader, val_loader
+
+    def build_model(self) -> Any:
+        cfg = self.cfg
+        dtype = jnp.bfloat16 if cfg.get("dtype") == "bfloat16" else jnp.float32
+        self.imgsz = int(cfg.get("imgsz", 640))
+        name = str(cfg.get("model") or "yolov12n")
+        self.detector = YoloDetector(
+            name, nc=self.data_spec["nc"], dtype=dtype, imgsz=self.imgsz
+        )
+        variables = self.detector.init(
+            jax.random.key(int(cfg.get("seed", 0))), imgsz=self.imgsz
+        )
+        self._model_state = {
+            k: v for k, v in variables.items() if k != "params"
+        }
+        # optional pretrained graft (reference partial .load for P2 surgery)
+        pre = cfg.get("pretrained")
+        if isinstance(pre, str) and Path(pre).exists():
+            from kuzu.core.checkpoint import CheckpointManager, partial_load
+
+            mgr = CheckpointManager(Path(pre))
+            src = mgr.restore("best" if mgr.exists("best") else "last")
+            src_params = src.get("params", src) if isinstance(src, dict) else src.params
+            grafted, n, t = partial_load(variables["params"], src_params)
+            LOGGER.info(f"pretrained graft: {n}/{t} tensors from {pre}")
+            return grafted
+        return variables["params"]
+
+    def _init_model_state(self):
+        return self._model_state
+
+    def loss_fn(self, params, model_state, batch, rng):
+        variables = {"params": params, **model_state}
+        feats, mutated = self.detector.apply(
+            variables, batch["image"], train=True, mutable=["batch_stats"]
+        )
+        total, metrics = detection_loss(
+            feats,
+            batch["gt_labels"],
+            batch["gt_boxes"],
+            batch["mask_gt"],
+            nc=self.detector.nc,
+            imgsz=self.imgsz,
+            strides=tuple(self.detector.strides),
+            box_w=float(self.cfg.get("box", 7.5)),
+            cls_w=float(self.cfg.get("cls", 0.5)),
+            dfl_w=float(self.cfg.get("dfl", 1.5)),
+        )
+        return total, (metrics, dict(mutated))
+
+    def validate(self, state) -> dict[str, float]:
+        params = state.ema_params if state.ema_params is not None else state.params
+        variables = {"params": params, **(state.model_state or {})}
+        conf = float(self.cfg.get("conf") or 0.001)
+        iou_t = float(self.cfg.get("iou", 0.7))
+        max_det = int(self.cfg.get("max_det", 300))
+
+        fwd = getattr(self, "_val_fwd", None)
+        if fwd is None:
+
+            def _fwd(variables, images):
+                feats = self.detector.apply(variables, images, train=False)
+                pred = self.detector.decode(feats, imgsz=self.imgsz)
+                return non_max_suppression(
+                    pred, conf_thres=conf, iou_thres=iou_t, max_det=max_det
+                )
+
+            fwd = self._val_fwd = jax.jit(_fwd)
+
+        dm = DetMetrics()
+        max_batches = int(self.cfg.get("val_batches", 50))
+        for bi, batch in enumerate(self.val_loader):
+            if bi >= max_batches:
+                break
+            mask = batch.pop("sample_mask", np.ones(len(batch["image"]), np.float32))
+            out = fwd(variables, jnp.asarray(batch["image"]))
+            out = {k: np.asarray(v) for k, v in out.items()}
+            for i in range(len(batch["image"])):
+                if mask[i] == 0:
+                    continue
+                dm.update(
+                    out["boxes"][i],
+                    out["scores"][i],
+                    out["classes"][i],
+                    out["valid"][i],
+                    batch["gt_boxes"][i],
+                    batch["gt_labels"][i],
+                    batch["mask_gt"][i],
+                )
+        res = dm.compute()
+        return {**res}
+
+    # hook: mosaic close near the end (reference close_mosaic=10)
+    def train(self):
+        close = int(self.cfg.get("close_mosaic", 10))
+        epochs = int(self.cfg.get("epochs", 1))
+
+        orig_cb = self.callbacks
+
+        def maybe_close(trainer):
+            if close > 0 and trainer.epoch >= max(epochs - close, 0):
+                trainer.train_ds.close_mosaic()
+
+        orig_cb.add("on_epoch_start", maybe_close)
+        return super().train()
+
+
+class _EpochLoader(DataLoader):
+    """DataLoader that forwards set_epoch to the dataset (mosaic seeding)."""
+
+    def __init__(self, dataset, batch, seed=0, num_workers=4):
+        super().__init__(
+            dataset, batch, shuffle=True, seed=seed, num_workers=num_workers
+        )
+
+    def set_epoch(self, epoch: int) -> None:
+        super().set_epoch(epoch)
+        self.dataset.set_epoch(epoch)
+
+
+class DetectValidator:
+    def __init__(self, cfg):
+        self.cfg = cfg
+
+    def run(self) -> dict:
+        trainer = DetectTrainer(self.cfg)
+        trainer.train_loader, trainer.val_loader = trainer.build_datasets()
+        params = trainer.build_model()
+        from kuzu.core.checkpoint import CheckpointManager
+        from kuzu.core.train import build_optimizer, init_state
+
+        state = init_state(
+            params,
+            build_optimizer(self.cfg),
+            use_ema=True,
+            model_state=trainer._model_state,
+        )
+        ckpt = self.cfg.get("model")
+        run_dir = Path(str(ckpt)) if ckpt else None
+        if run_dir and (run_dir / "weights").exists():
+            mgr = CheckpointManager(run_dir / "weights")
+            state = mgr.restore(
+                "best" if mgr.exists("best") else "last", like=state
+            )
+        return trainer.validate(state)
+
+
+class DetectPredictor:
+    """Load a trained run dir; predict padded detections on images."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.ready = False
+
+    def _setup(self):
+        from kuzu.core.checkpoint import CheckpointManager
+        from kuzu.core.config import load_config
+        from kuzu.core.train import build_optimizer, init_state
+
+        run_dir = Path(str(self.cfg.get("model")))
+        train_cfg = load_config(
+            run_dir / "args.yaml" if (run_dir / "args.yaml").exists() else None
+        )
+        self.imgsz = int(train_cfg.get("imgsz", 640))
+        data_spec = load_dataset_yaml(train_cfg.data)
+        arch = str(train_cfg.get("model") or "yolov12n")
+        self.detector = YoloDetector(arch, nc=data_spec["nc"], imgsz=self.imgsz)
+        variables = self.detector.init(jax.random.key(0), imgsz=self.imgsz)
+        model_state = {k: v for k, v in variables.items() if k != "params"}
+        state = init_state(
+            variables["params"],
+            build_optimizer(train_cfg),
+            use_ema=True,
+            model_state=model_state,
+        )
+        mgr = CheckpointManager(run_dir / "weights")
+        state = mgr.restore("best" if mgr.exists("best") else "last", like=state)
+        params = state.ema_params if state.ema_params is not None else state.params
+        self.variables = {"params": params, **(state.model_state or {})}
+        conf = float(self.cfg.get("conf") or 0.25)
+        iou_t = float(self.cfg.get("iou", 0.7))
+        max_det = int(self.cfg.get("max_det", 300))
+
+        def _fwd(images):
+            feats = self.detector.apply(self.variables, images, train=False)
+            pred = self.detector.decode(feats, imgsz=self.imgsz)
+            return non_max_suppression(
+                pred, conf_thres=conf, iou_thres=iou_t, max_det=max_det
+            )
+
+        self._fwd = jax.jit(_fwd)
+        self.ready = True
+
+    def __call__(self, source) -> list[dict]:
+        if not self.ready:
+            self._setup()
+        import cv2
+
+        paths = [source] if isinstance(source, (str, Path)) else list(source)
+        images, meta = [], []
+        for p in paths:
+            img = cv2.cvtColor(cv2.imread(str(p)), cv2.COLOR_BGR2RGB)
+            h, w = img.shape[:2]
+            canvas, gain, (px, py) = letterbox_np(img, self.imgsz)
+            images.append(canvas.astype(np.float32) / 255.0)
+            meta.append((h, w, gain, px, py))
+        out = self._fwd(jnp.asarray(np.stack(images)))
+        out = {k: np.asarray(v) for k, v in out.items()}
+        results = []
+        for i, (h, w, gain, px, py) in enumerate(meta):
+            valid = out["valid"][i]
+            boxes = out["boxes"][i][valid]
+            boxes = (boxes - [px, py, px, py]) / gain
+            boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, w)
+            boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h)
+            results.append(
+                {
+                    "boxes": boxes,
+                    "scores": out["scores"][i][valid],
+                    "classes": out["classes"][i][valid],
+                    "path": str(paths[i]),
+                }
+            )
+        return results
+
+
+register_task(
+    "detect",
+    trainer=DetectTrainer,
+    validator=DetectValidator,
+    predictor=DetectPredictor,
+)

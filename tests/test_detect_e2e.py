@@ -1,0 +1,157 @@
+"""Detection end-to-end: synthetic YOLO-format dataset -> train -> val -> predict.
+
+Mirrors the reference engine's toy-dataset tests
+(``yolov12/tests/test_python.py:205`` train-scratch on bundled coco8).
+"""
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image, ImageDraw
+
+COLORS = [(220, 40, 40), (40, 40, 220)]
+
+
+def _draw_scene(rng, size=96, n_obj=3):
+    img = Image.new("RGB", (size, size), (240, 240, 235))
+    d = ImageDraw.Draw(img)
+    rows = []
+    for _ in range(n_obj):
+        cls = int(rng.integers(0, 2))
+        w, h = int(rng.integers(16, 32)), int(rng.integers(16, 32))
+        x = int(rng.integers(0, size - w))
+        y = int(rng.integers(0, size - h))
+        if cls == 0:
+            d.rectangle([x, y, x + w, y + h], fill=COLORS[0])
+        else:
+            d.ellipse([x, y, x + w, y + h], fill=COLORS[1])
+        cx, cy = (x + w / 2) / size, (y + h / 2) / size
+        rows.append(f"{cls} {cx:.6f} {cy:.6f} {w / size:.6f} {h / size:.6f}")
+    return img, rows
+
+
+@pytest.fixture(scope="module")
+def yolo_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("yolods")
+    rng = np.random.default_rng(0)
+    for split, n in (("train", 16), ("val", 8)):
+        (root / "images" / split).mkdir(parents=True)
+        (root / "labels" / split).mkdir(parents=True)
+        for i in range(n):
+            img, rows = _draw_scene(rng)
+            img.save(root / "images" / split / f"{i}.jpg")
+            (root / "labels" / split / f"{i}.txt").write_text("\n".join(rows))
+    spec = {
+        "path": ".",
+        "train": "images/train",
+        "val": "images/val",
+        "names": {0: "box", 1: "ball"},
+        "nc": 2,
+    }
+    yml = root / "dataset.yaml"
+    yml.write_text(yaml.safe_dump(spec))
+    return yml
+
+
+def test_yolo_dataset_shapes(yolo_dataset):
+    from kuzu.data.yolo_dataset import YoloDetectionDataset
+
+    ds = YoloDetectionDataset(yolo_dataset, split="train", imgsz=64, max_boxes=20)
+    s = ds[0]
+    assert s["image"].shape == (64, 64, 3)
+    assert s["gt_boxes"].shape == (20, 4)
+    assert s["mask_gt"].sum() >= 1
+    # boxes are inside the canvas
+    b = s["gt_boxes"][s["mask_gt"]]
+    assert (b >= 0).all() and (b <= 64).all()
+    assert (b[:, 2] > b[:, 0]).all() and (b[:, 3] > b[:, 1]).all()
+
+
+def test_yolo_dataset_no_augment_deterministic(yolo_dataset):
+    from kuzu.data.yolo_dataset import YoloDetectionDataset
+
+    ds = YoloDetectionDataset(yolo_dataset, split="val", imgsz=64, augment=False)
+    a, b = ds[0], ds[0]
+    np.testing.assert_array_equal(a["image"], b["image"])
+    np.testing.assert_array_equal(a["gt_boxes"], b["gt_boxes"])
+
+
+def test_mosaic_produces_valid_boxes(yolo_dataset):
+    from kuzu.data.yolo_dataset import YoloDetectionDataset
+
+    ds = YoloDetectionDataset(
+        yolo_dataset, split="train", imgsz=64,
+        hyp={"mosaic": 1.0, "scale": 0.4},
+    )
+    for i in range(4):
+        s = ds[i]
+        b = s["gt_boxes"][s["mask_gt"]]
+        if len(b):
+            assert (b[:, 2:] - b[:, :2] > 0).all()
+            assert (b >= 0).all() and (b <= 64).all()
+
+
+def _detect_cfg(yolo_dataset, tmp_path, **kw):
+    from kuzu.core.config import load_config
+
+    base = dict(
+        task="detect",
+        model="yolov12n",
+        data=str(yolo_dataset),
+        epochs=1,
+        batch=4,
+        imgsz=64,
+        max_boxes=20,
+        lr0=0.002,
+        optimizer="adamw",
+        warmup_epochs=0.0,
+        close_mosaic=0,
+        project=str(tmp_path / "runs"),
+        name="d",
+        exist_ok=True,
+        workers=0,
+        dtype="float32",
+        val_batches=2,
+    )
+    base.update(kw)
+    return load_config(overrides=base)
+
+
+def test_detect_trainer_end_to_end(yolo_dataset, tmp_path):
+    from kuzu.tasks.detect import DetectTrainer
+
+    cfg = _detect_cfg(yolo_dataset, tmp_path)
+    trainer = DetectTrainer(cfg)
+    result = trainer.train()
+    assert np.isfinite(result["loss"])
+    assert result["num_fg"] > 0, "assigner produced no foreground anchors"
+    assert result["box_loss"] > 0
+    assert "map50" in result
+    assert (trainer.save_dir / "weights" / "last").exists()
+    # batch_stats were updated (not all zeros/ones)
+    bs = trainer.state.model_state["batch_stats"]
+    import jax
+
+    leaves = jax.tree.leaves(bs)
+    assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
+
+
+def test_detect_predict_roundtrip(yolo_dataset, tmp_path):
+    from kuzu.tasks.detect import DetectPredictor, DetectTrainer
+
+    cfg = _detect_cfg(yolo_dataset, tmp_path, name="p")
+    trainer = DetectTrainer(cfg)
+    trainer.train()
+    pred_cfg = _detect_cfg(
+        yolo_dataset, tmp_path,
+        model=str(trainer.save_dir), conf=0.0001, name="pp",
+    )
+    predictor = DetectPredictor(pred_cfg)
+    img = yolo_dataset.parent / "images" / "val" / "0.jpg"
+    results = predictor([img])
+    assert len(results) == 1
+    r = results[0]
+    assert r["boxes"].shape[1] == 4
+    # rescaled boxes are within the original 96x96 frame
+    if len(r["boxes"]):
+        assert (r["boxes"] >= 0).all() and (r["boxes"] <= 96).all()

@@ -1,0 +1,82 @@
+import numpy as np
+
+from kuzu.pipeline.tiling import (
+    grid_bounds,
+    merge_tile_detections,
+    rewrite_boxes_for_tile,
+    tile_image,
+)
+
+
+def test_grid_bounds_2x2():
+    b = grid_bounds(2, overlap=0.15)
+    assert len(b) == 4
+    # top-left tile: starts at origin, extends past the midpoint by overlap/2
+    np.testing.assert_allclose(b[0], (0.0, 0.0, 0.575, 0.575))
+    # bottom-right starts before midpoint
+    np.testing.assert_allclose(b[3], (0.425, 0.425, 1.0, 1.0))
+    # neighbouring tiles overlap
+    assert b[0][2] > b[1][0]
+
+
+def test_grid_bounds_3x3():
+    b = grid_bounds(3, overlap=0.15)
+    assert len(b) == 9
+    # center tile extends both ways
+    cx = b[4]
+    assert cx[0] < 1 / 3 and cx[2] > 2 / 3
+
+
+def test_tile_image_shapes():
+    img = (np.random.default_rng(0).uniform(0, 255, (200, 160, 3))).astype(np.uint8)
+    tiles, metas = tile_image(img, grid=2, overlap=0.15, tile_size=64)
+    assert tiles.shape == (4, 64, 64, 3)
+    assert tiles.dtype == np.float32
+    assert len(metas) == 4
+    assert metas[0]["origin"] == (0, 0)
+
+
+def test_rewrite_boxes_contained():
+    boxes = np.array([[10.0, 10, 50, 50], [100, 100, 150, 150]])
+    out, keep = rewrite_boxes_for_tile(boxes, (0, 0, 80, 80))
+    np.testing.assert_array_equal(keep, [True, False])
+    np.testing.assert_allclose(out[0], [10, 10, 50, 50])
+    out2, keep2 = rewrite_boxes_for_tile(boxes, (90, 90, 200, 200))
+    assert keep2[1]
+    np.testing.assert_allclose(out2[1], [10, 10, 60, 60])
+
+
+def test_merge_tile_detections_dedups_overlap():
+    # same physical box seen by two tiles -> one efter merge
+    metas = [
+        {"origin": (0, 0), "gain": 1.0, "pad": (0, 0)},
+        {"origin": (50, 0), "gain": 1.0, "pad": (0, 0)},
+    ]
+    det1 = {
+        "boxes": np.array([[60.0, 10, 80, 30]]),
+        "scores": np.array([0.9]),
+        "classes": np.array([0]),
+        "valid": np.array([True]),
+    }
+    det2 = {
+        "boxes": np.array([[10.0, 10, 30, 30]]),  # same page box (origin 50)
+        "scores": np.array([0.8]),
+        "classes": np.array([0]),
+        "valid": np.array([True]),
+    }
+    merged = merge_tile_detections([det1, det2], metas, iou_thres=0.5)
+    assert len(merged["boxes"]) == 1
+    np.testing.assert_allclose(merged["boxes"][0], [60, 10, 80, 30], atol=1e-3)
+    assert merged["scores"][0] == 0.9
+
+
+def test_merge_empty():
+    metas = [{"origin": (0, 0), "gain": 1.0, "pad": (0, 0)}]
+    det = {
+        "boxes": np.zeros((5, 4)),
+        "scores": np.zeros(5),
+        "classes": np.zeros(5, int),
+        "valid": np.zeros(5, bool),
+    }
+    merged = merge_tile_detections([det], metas)
+    assert len(merged["boxes"]) == 0
