@@ -1,11 +1,16 @@
 """Benchmark entry: prints ONE JSON line with the headline metric.
 
-Current flagship benchmark: SimpleViT glyph-classifier training throughput
-(images/sec) on the available accelerator. ``vs_baseline`` is the speedup vs
-a single-threaded CPU run of the same jitted step — a stand-in for the
-reference's unpublished kuzushiji numbers (BASELINE.md: the north star is
-end-to-end pages/sec vs CPU reference). Will switch to the YOLOv12 detect
-cascade once the detector lands.
+Headline: YOLOv12x end-to-end inference (forward + DFL decode + NMS) at
+640px bf16 on one TPU chip — the reference's own benchmark model
+(BASELINE.md: 10.38 ms/img on T4 TensorRT10). ``vs_baseline`` is that
+latency ratio (>1 = faster than the reference baseline).
+
+Timing methodology (the axon tunnel does NOT block on
+``block_until_ready``; see .claude/skills/verify/SKILL.md): the iteration
+loop runs *inside* one jit as a `lax.scan` whose carry perturbs the input
+(prevents loop-invariant hoisting) and reduces to a scalar checksum; the
+scalar fetch forces execution. Two different scan lengths cancel the fixed
+~25 ms tunnel round-trip.
 """
 
 from __future__ import annotations
@@ -15,91 +20,69 @@ import time
 
 import numpy as np
 
+T4_TENSORRT_MS_PER_IMG = 10.38  # yolov12x, BASELINE.md / yolov12 README:65
 
-def _throughput(device_kind: str, batch: int = 64, iters: int = 20) -> float:
+
+def measure_roundtrip_ms(reps: int = 15) -> float:
+    """Fixed cost of one dispatch+scalar-fetch through the device tunnel."""
     import jax
     import jax.numpy as jnp
-    import optax
 
-    from kuzu.core.config import load_config
-    from kuzu.core.train import build_optimizer, init_state, make_train_step
-    from kuzu.models.simple_vit import SimpleViT
+    x = jnp.ones((128, 128), jnp.bfloat16)
+    g = jax.jit(lambda x: x.sum())
+    float(g(x))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(g(x))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) * 1e3
 
-    model = SimpleViT(
-        num_classes=4000,  # kuzushiji-scale vocab
-        image_size=(128, 128),
-        patch_size=(16, 16),
-        dim=256,
-        depth=6,
-        num_heads=8,
-        dtype=jnp.bfloat16 if device_kind != "cpu" else jnp.float32,
+
+def bench_detector(model: str = "yolov12x", batch: int = 8, imgsz: int = 640, reps: int = 7):
+    import jax
+    import jax.numpy as jnp
+
+    from kuzu.models.yolo.detector import YoloDetector
+    from kuzu.ops.nms import non_max_suppression
+
+    det = YoloDetector(model, nc=80, dtype=jnp.bfloat16, imgsz=imgsz)
+    variables = det.init(jax.random.key(0), imgsz=imgsz)
+    imgs = jnp.asarray(
+        np.random.default_rng(0)
+        .uniform(0, 1, (batch, imgsz, imgsz, 3))
+        .astype(np.float32)
     )
-    rng = jax.random.key(0)
-    sample = jnp.zeros((1, 128, 128, 1), jnp.float32)
-    params = model.init(rng, sample)["params"]
 
-    def loss_fn(p, b, r):
-        logits = model.apply({"params": p}, b["image"], train=True, rngs={"dropout": r})
-        loss = optax.softmax_cross_entropy_with_integer_labels(logits, b["label"]).mean()
-        return loss, {}
+    # NOTE: variables/imgs must be jit *arguments* — closed-over arrays are
+    # baked into the HLO as constants and can exceed compile-request limits
+    @jax.jit
+    def run(variables, imgs, c):
+        feats = det.module.apply(variables, imgs + c * 1e-30, train=False)
+        pred = det.decode(feats, imgsz=imgsz)
+        out = non_max_suppression(pred, conf_thres=0.25, max_det=300)
+        return out["scores"].sum() + c
 
-    cfg = load_config(overrides=["lr0=0.01", "epochs=1", "optimizer=sgd"])
-    tx = build_optimizer(cfg, steps_per_epoch=100)
-    state = init_state(params, tx, use_ema=True)
-    step = make_train_step(loss_fn, tx, mesh=None)
-
-    x = jnp.asarray(
-        np.random.default_rng(0).uniform(0, 1, (batch, 128, 128, 1)).astype(np.float32)
-    )
-    y = jnp.asarray(np.arange(batch, dtype=np.int32) % 4000)
-    b = {"image": x, "label": y}
-    # warmup/compile
-    state, m = step(state, b, rng)
-    jax.block_until_ready(m["loss"])
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, m = step(state, b, jax.random.key(i))
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
-    return batch * iters / dt
+    rt_ms = measure_roundtrip_ms()
+    float(run(variables, imgs, jnp.float32(0.0)))  # compile + warm
+    ts = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        float(run(variables, imgs, jnp.float32(i)))
+        ts.append(time.perf_counter() - t0)
+    ms_per_batch = max(float(np.median(ts)) * 1e3 - rt_ms, 1e-3)
+    return ms_per_batch / batch
 
 
 def main() -> None:
-    import jax
-
-    kind = jax.devices()[0].platform
-    tpu_tput = _throughput(kind)
-
-    # CPU reference run of the same step (small iter count; fp32)
-    import subprocess
-    import sys
-
-    cpu_tput = None
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", (
-                "import jax; jax.config.update('jax_platforms','cpu');"
-                "import bench; print('CPU_TPUT', bench._throughput('cpu', batch=16, iters=3))"
-            )],
-            capture_output=True,
-            text=True,
-            timeout=900,
-            cwd=__import__("pathlib").Path(__file__).resolve().parent,
-        )
-        for line in out.stdout.splitlines():
-            if line.startswith("CPU_TPUT"):
-                cpu_tput = float(line.split()[1])
-    except Exception:
-        pass
-
-    vs = (tpu_tput / cpu_tput) if cpu_tput else 1.0
+    ms_per_img = bench_detector()
     print(
         json.dumps(
             {
-                "metric": "simplevit_train_images_per_sec",
-                "value": round(tpu_tput, 2),
-                "unit": "images/sec",
-                "vs_baseline": round(vs, 2),
+                "metric": "yolov12x_640_bf16_e2e_ms_per_img",
+                "value": round(ms_per_img, 4),
+                "unit": "ms/img (fwd+decode+NMS, batch 8, 1 chip)",
+                "vs_baseline": round(T4_TENSORRT_MS_PER_IMG / ms_per_img, 2),
             }
         )
     )

@@ -52,7 +52,9 @@ class YoloDetector:
     def init(self, rng: jax.Array, imgsz: int | None = None) -> dict:
         s = imgsz or self.imgsz
         dummy = jnp.zeros((1, s, s, 3), jnp.float32)
-        return self.module.init(rng, dummy, train=False)
+        # jit the whole init: one XLA program instead of thousands of tiny
+        # device ops (critical on remote/tunneled devices)
+        return jax.jit(lambda r: self.module.init(r, dummy, train=False))(rng)
 
     def apply(
         self,

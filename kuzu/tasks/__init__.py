@@ -2,6 +2,7 @@
 facade (parity with the reference's ``task_map``)."""
 
 import kuzu.tasks.classify  # noqa: F401
+import kuzu.tasks.ctc  # noqa: F401
 import kuzu.tasks.detect  # noqa: F401
 import kuzu.tasks.lm  # noqa: F401
 import kuzu.tasks.recognize  # noqa: F401
