@@ -1,0 +1,123 @@
+"""Model export: StableHLO serialization via jax.export.
+
+Capability parity with the reference exporter's deployable-artifact story
+(``yolov12/ultralytics/engine/exporter.py:107`` — TorchScript/ONNX/TRT/...):
+on TPU the portable format is StableHLO. ``export_detector`` serializes the
+jitted forward+decode (and optionally NMS) with frozen weights; the artifact
+reloads with ``jax.export.deserialize`` on any JAX runtime and is the
+input for further conversion (e.g. TFLite via the StableHLO converter).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jexport
+
+
+def export_fn(
+    fn,
+    example_args: tuple,
+    out_path: str | Path,
+    metadata: dict | None = None,
+) -> Path:
+    """Serialize a jittable fn to <out_path>.stablehlo (+ .json metadata)."""
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    exported = jexport.export(jax.jit(fn))(*example_args)
+    data = exported.serialize()
+    blob = out_path.with_suffix(".stablehlo")
+    blob.write_bytes(data)
+    meta = {
+        "in_avals": [str(a) for a in exported.in_avals],
+        "out_avals": [str(a) for a in exported.out_avals],
+        **(metadata or {}),
+    }
+    out_path.with_suffix(".json").write_text(json.dumps(meta, indent=2))
+    return blob
+
+
+def load_exported(path: str | Path):
+    """Deserialize and return a callable."""
+    exported = jexport.deserialize(Path(path).read_bytes())
+    return exported.call
+
+
+def export_detector(
+    run_dir: str | Path,
+    out_path: str | Path | None = None,
+    batch: int = 1,
+    include_nms: bool = True,
+    conf: float = 0.25,
+    iou: float = 0.45,
+    max_det: int = 300,
+) -> Path:
+    """Export a trained detect run: image batch -> padded detections."""
+    from kuzu.core.config import load_config
+    from kuzu.tasks.detect import DetectPredictor
+
+    run_dir = Path(run_dir)
+    predictor = DetectPredictor(
+        load_config(
+            overrides={"model": str(run_dir), "conf": conf, "iou": iou, "max_det": max_det}
+        )
+    )
+    predictor._setup()
+    det = predictor.detector
+    variables = predictor.variables
+    imgsz = predictor.imgsz
+
+    from kuzu.ops.nms import non_max_suppression
+
+    def fwd(images):
+        feats = det.module.apply(variables, images, train=False)
+        pred = det.decode(feats, imgsz=imgsz)
+        if include_nms:
+            return non_max_suppression(
+                pred, conf_thres=conf, iou_thres=iou, max_det=max_det
+            )
+        return pred
+
+    example = (jnp.zeros((batch, imgsz, imgsz, 3), jnp.float32),)
+    out_path = Path(out_path or (run_dir / "export" / "detector"))
+    return export_fn(
+        fwd,
+        example,
+        out_path,
+        metadata={
+            "model": str(run_dir),
+            "imgsz": imgsz,
+            "batch": batch,
+            "include_nms": include_nms,
+            "conf": conf,
+            "iou": iou,
+            "max_det": max_det,
+        },
+    )
+
+
+class Exporter:
+    """Task-map component for ``Model(...).export()``."""
+
+    def __init__(self, cfg: Any):
+        self.cfg = cfg
+
+    def run(self) -> Path:
+        fmt = str(self.cfg.get("format", "stablehlo"))
+        if fmt != "stablehlo":
+            raise NotImplementedError(
+                f"format '{fmt}' not supported yet (stablehlo only)"
+            )
+        return export_detector(
+            str(self.cfg.get("model")),
+            batch=int(self.cfg.get("batch", 1)),
+            include_nms=bool(self.cfg.get("nms", True)),
+            conf=float(self.cfg.get("conf") or 0.25),
+            iou=float(self.cfg.get("iou", 0.45)),
+            max_det=int(self.cfg.get("max_det", 300)),
+        )

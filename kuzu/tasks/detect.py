@@ -296,9 +296,12 @@ class DetectPredictor:
         return results
 
 
+from kuzu.api.export import Exporter as _Exporter  # noqa: E402
+
 register_task(
     "detect",
     trainer=DetectTrainer,
     validator=DetectValidator,
     predictor=DetectPredictor,
+    exporter=_Exporter,
 )
