@@ -31,6 +31,7 @@ def _suppress(iou: jnp.ndarray, iou_threshold: float) -> jnp.ndarray:
 
     Sequential recurrence: row i is kept iff no kept row j < i overlaps it
     above the threshold. Implemented as a scan carrying the suppressed mask.
+    (XLA reference path; the TPU hot path is ``pallas_nms.pallas_suppress``.)
     """
     k = iou.shape[0]
     over = iou > iou_threshold
@@ -45,13 +46,97 @@ def _suppress(iou: jnp.ndarray, iou_threshold: float) -> jnp.ndarray:
     return keep
 
 
+def batched_suppress(
+    boxes: jnp.ndarray,  # (B, K, 4) score-desc sorted
+    valid: jnp.ndarray,  # (B, K) bool
+    iou_threshold: float,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Batched keep-mask; Pallas kernel on TPU, scan elsewhere."""
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from kuzu.ops.pallas_nms import LANES, pallas_suppress
+
+        b, k, _ = boxes.shape
+        pad = (-k) % LANES
+        if pad:
+            boxes = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0)))
+            valid = jnp.pad(valid, ((0, 0), (0, pad)))
+        keep = pallas_suppress(boxes, valid, iou_threshold)
+        return keep[:, :k] if pad else keep
+
+    def one(bx, va):
+        iou = box_iou_matrix(bx, bx)
+        iou = jnp.where(va[None, :] & va[:, None], iou, 0.0)
+        return _suppress(iou, iou_threshold) & va
+
+    return jax.vmap(one)(boxes, valid)
+
+
 @partial(
     jax.jit,
     static_argnames=(
-        "max_det",
-        "max_nms",
-        "agnostic",
-        "max_wh",
+        "iou_threshold", "score_threshold", "max_det", "max_nms",
+        "agnostic", "max_wh", "backend",
+    ),
+)
+def nms_padded_batch(
+    boxes: jnp.ndarray,  # (B, N, 4) xyxy
+    scores: jnp.ndarray,  # (B, N)
+    classes: jnp.ndarray,  # (B, N) int
+    valid: jnp.ndarray,  # (B, N) bool
+    iou_threshold: float = 0.45,
+    score_threshold: float = 0.25,
+    max_det: int = 300,
+    max_nms: int = 2048,
+    agnostic: bool = False,
+    max_wh: int = 7680,
+    backend: str = "auto",
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched NMS over padded candidates; returns padded, score-sorted
+    (boxes (B, max_det, 4), scores, classes, valid)."""
+    n = boxes.shape[1]
+    scores = jnp.where(valid & (scores > score_threshold), scores, -1.0)
+    k = min(max_nms, n)
+    top_scores, order = jax.lax.top_k(scores, k)  # (B, k)
+    top_boxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
+    top_classes = jnp.take_along_axis(classes, order, axis=1)
+    top_valid = top_scores > 0.0
+
+    # class-offset trick: shift boxes per class so cross-class IoU ~ 0
+    if agnostic:
+        off_boxes = top_boxes
+    else:
+        offset = (top_classes.astype(top_boxes.dtype) * max_wh)[..., None]
+        off_boxes = top_boxes + offset
+
+    keep = batched_suppress(off_boxes, top_valid, iou_threshold, backend) & top_valid
+
+    # select kept, preserve score order, pad to max_det
+    kept_scores = jnp.where(keep, top_scores, -1.0)
+    out_scores, kept_order = jax.lax.top_k(kept_scores, min(max_det, k))
+    out_boxes = jnp.take_along_axis(top_boxes, kept_order[..., None], axis=1)
+    out_classes = jnp.take_along_axis(top_classes, kept_order, axis=1)
+    out_valid = out_scores > 0.0
+    if max_det > k:  # pad up if max_det exceeds candidate pool
+        pad = max_det - k
+        out_boxes = jnp.pad(out_boxes, ((0, 0), (0, pad), (0, 0)))
+        out_scores = jnp.pad(out_scores, ((0, 0), (0, pad)), constant_values=-1.0)
+        out_classes = jnp.pad(out_classes, ((0, 0), (0, pad)))
+        out_valid = jnp.pad(out_valid, ((0, 0), (0, pad)))
+    out_scores = jnp.where(out_valid, out_scores, 0.0)
+    out_boxes = jnp.where(out_valid[..., None], out_boxes, 0.0)
+    out_classes = jnp.where(out_valid, out_classes, 0)
+    return out_boxes, out_scores, out_classes, out_valid
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "iou_threshold", "score_threshold", "max_det", "max_nms",
+        "agnostic", "max_wh", "backend",
     ),
 )
 def nms_padded(
@@ -65,62 +150,31 @@ def nms_padded(
     max_nms: int = 2048,
     agnostic: bool = False,
     max_wh: int = 7680,
+    backend: str = "auto",
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """NMS on one image's padded candidates.
-
-    Args:
-      boxes: (N, 4) xyxy.
-      scores: (N,) confidence.
-      classes: (N,) int class ids.
-      valid: (N,) bool mask of real candidates.
-      max_det: output size (padded).
-      max_nms: number of top-score candidates considered (static).
-
-    Returns:
-      (boxes (max_det, 4), scores (max_det,), classes (max_det,),
-       valid (max_det,) bool) — score-sorted, padded with zeros.
-    """
-    n = boxes.shape[0]
-    scores = jnp.where(valid & (scores > score_threshold), scores, -1.0)
-    k = min(max_nms, n)
-    top_scores, order = jax.lax.top_k(scores, k)
-    top_boxes = boxes[order]
-    top_classes = classes[order]
-    top_valid = top_scores > 0.0
-
-    # class-offset trick: shift boxes per class so cross-class IoU ~ 0
-    if agnostic:
-        off_boxes = top_boxes
-    else:
-        offset = (top_classes.astype(top_boxes.dtype) * max_wh)[:, None]
-        off_boxes = top_boxes + offset
-
-    iou = box_iou_matrix(off_boxes, off_boxes)
-    # invalid rows should not suppress anything
-    iou = jnp.where(top_valid[None, :] & top_valid[:, None], iou, 0.0)
-    keep = _suppress(iou, iou_threshold) & top_valid
-
-    # select kept, preserve score order, pad to max_det
-    kept_scores = jnp.where(keep, top_scores, -1.0)
-    out_scores, kept_order = jax.lax.top_k(kept_scores, min(max_det, k))
-    out_boxes = top_boxes[kept_order]
-    out_classes = top_classes[kept_order]
-    out_valid = out_scores > 0.0
-    if max_det > k:  # pad up if max_det exceeds candidate pool
-        pad = max_det - k
-        out_boxes = jnp.pad(out_boxes, ((0, pad), (0, 0)))
-        out_scores = jnp.pad(out_scores, (0, pad), constant_values=-1.0)
-        out_classes = jnp.pad(out_classes, (0, pad))
-        out_valid = jnp.pad(out_valid, (0, pad))
-    out_scores = jnp.where(out_valid, out_scores, 0.0)
-    out_boxes = jnp.where(out_valid[:, None], out_boxes, 0.0)
-    out_classes = jnp.where(out_valid, out_classes, 0)
-    return out_boxes, out_scores, out_classes, out_valid
+    """Single-image NMS on padded candidates (see ``nms_padded_batch``)."""
+    ob, os_, oc, ov = nms_padded_batch(
+        boxes[None],
+        scores[None],
+        classes[None],
+        valid[None],
+        iou_threshold=iou_threshold,
+        score_threshold=score_threshold,
+        max_det=max_det,
+        max_nms=max_nms,
+        agnostic=agnostic,
+        max_wh=max_wh,
+        backend=backend,
+    )
+    return ob[0], os_[0], oc[0], ov[0]
 
 
 @partial(
     jax.jit,
-    static_argnames=("max_det", "max_nms", "agnostic", "multi_label", "in_format"),
+    static_argnames=(
+        "conf_thres", "iou_thres", "max_det", "max_nms", "agnostic",
+        "multi_label", "in_format",
+    ),
 )
 def non_max_suppression(
     prediction: jnp.ndarray,
@@ -159,18 +213,15 @@ def non_max_suppression(
         classes = cls_scores.argmax(axis=-1).astype(jnp.int32)
     valid = jnp.ones(scores.shape, bool)
 
-    run = jax.vmap(
-        lambda bx, sc, cl, va: nms_padded(
-            bx,
-            sc,
-            cl,
-            va,
-            iou_threshold=iou_thres,
-            score_threshold=conf_thres,
-            max_det=max_det,
-            max_nms=max_nms,
-            agnostic=agnostic,
-        )
+    ob, os_, oc, ov = nms_padded_batch(
+        boxes,
+        scores,
+        classes,
+        valid,
+        iou_threshold=iou_thres,
+        score_threshold=conf_thres,
+        max_det=max_det,
+        max_nms=max_nms,
+        agnostic=agnostic,
     )
-    ob, os_, oc, ov = run(boxes, scores, classes, valid)
     return {"boxes": ob, "scores": os_, "classes": oc, "valid": ov}

@@ -1,0 +1,54 @@
+"""Pallas NMS kernel parity vs the XLA scan reference (interpreter mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from kuzu.ops.nms import _suppress
+from kuzu.ops.pallas_nms import pallas_suppress
+
+
+def _rand_sorted(rng, b, k):
+    xy = rng.uniform(0, 200, size=(b, k, 2)).astype(np.float32)
+    wh = rng.uniform(5, 40, size=(b, k, 2)).astype(np.float32)
+    boxes = np.concatenate([xy, xy + wh], axis=-1)
+    return boxes
+
+
+def test_pallas_matches_scan(rng):
+    b, k = 2, 256
+    boxes = _rand_sorted(rng, b, k)
+    valid = np.ones((b, k), bool)
+    valid[:, -10:] = False
+    keep_pl = np.asarray(
+        pallas_suppress(
+            jnp.asarray(boxes), jnp.asarray(valid), iou_threshold=0.5, interpret=True
+        )
+    )
+    for i in range(b):
+        from kuzu.ops.boxes import box_iou_matrix
+
+        iou = box_iou_matrix(jnp.asarray(boxes[i]), jnp.asarray(boxes[i]))
+        iou = jnp.where(
+            jnp.asarray(valid[i])[None, :] & jnp.asarray(valid[i])[:, None], iou, 0.0
+        )
+        keep_ref = np.asarray(_suppress(iou, 0.5)) & valid[i]
+        np.testing.assert_array_equal(keep_pl[i], keep_ref)
+
+
+def test_pallas_dense_cluster(rng):
+    """Heavy-overlap stress: many near-duplicates around few centers."""
+    k = 128
+    centers = rng.uniform(50, 150, size=(4, 2))
+    boxes = []
+    for i in range(k):
+        c = centers[i % 4] + rng.normal(0, 1.5, 2)
+        boxes.append([c[0], c[1], c[0] + 30, c[1] + 30])
+    boxes = np.asarray(boxes, np.float32)[None]
+    valid = np.ones((1, k), bool)
+    keep = np.asarray(
+        pallas_suppress(jnp.asarray(boxes), jnp.asarray(valid), 0.5, interpret=True)
+    )[0]
+    # roughly one survivor per cluster
+    assert 3 <= keep.sum() <= 8
+    # highest-scoring (first) box always kept
+    assert keep[0]
