@@ -117,6 +117,65 @@ class CharTokenizer:
         return cls(data["vocab"], nfkc=data.get("nfkc", True))
 
 
+class BigramTokenizer(CharTokenizer):
+    """Bigram variant (reference ``train_tokenizer_bigram.py``): the vocab
+    holds frequent character bigrams plus single-char fallbacks; encoding is
+    greedy longest-match (bigram first, then char, then <unk>)."""
+
+    @classmethod
+    def train(
+        cls,
+        texts,
+        min_freq: int = 2,
+        max_vocab: int | None = None,
+        nfkc: bool = True,
+    ) -> "BigramTokenizer":
+        import unicodedata as _u
+
+        chars: dict[str, int] = {}
+        bigrams: dict[str, int] = {}
+        for t in texts:
+            if nfkc:
+                t = _u.normalize("NFKC", t)
+            for ch in t:
+                chars[ch] = chars.get(ch, 0) + 1
+            for i in range(len(t) - 1):
+                bg = t[i : i + 2]
+                bigrams[bg] = bigrams.get(bg, 0) + 1
+        vocab = {tok: i for i, tok in enumerate(SPECIALS)}
+        for c in sorted(chars, key=lambda c: (-chars[c], c)):
+            vocab[c] = len(vocab)
+        for bg in sorted(bigrams, key=lambda b: (-bigrams[b], b)):
+            if bigrams[bg] >= min_freq and (
+                max_vocab is None or len(vocab) < max_vocab
+            ):
+                vocab[bg] = len(vocab)
+        return cls(vocab, nfkc=nfkc)
+
+    def encode(self, text: str, max_length: int | None = None, add_special: bool = True):
+        import numpy as _np
+
+        t = self.normalize(text)
+        ids: list[int] = []
+        i = 0
+        while i < len(t):
+            bg = t[i : i + 2]
+            if len(bg) == 2 and bg in self.vocab:
+                ids.append(self.vocab[bg])
+                i += 2
+            else:
+                ids.append(self.vocab.get(t[i], self.unk_id))
+                i += 1
+        if add_special:
+            ids = [self.bos_id] + ids + [self.eos_id]
+        if max_length is not None:
+            ids = ids[:max_length]
+            if add_special and len(ids) == max_length and ids[-1] != self.eos_id:
+                ids[-1] = self.eos_id
+            ids = ids + [self.pad_id] * (max_length - len(ids))
+        return _np.asarray(ids, _np.int32)
+
+
 def decode_unicode_ids(s: str) -> str:
     """'U+4E00 U+3042' -> characters (reference trocr_dataset.py:139)."""
     out = []

@@ -127,18 +127,42 @@ class TrOCR(nn.Module):
     dec_heads: int = 8
     max_len: int = 128
     dropout: float = 0.0
+    encoder_type: str = "vit"  # 'vit' | 'unet' (LitOCR parity) | 'csa'
     dtype: Any = jnp.float32
 
     def setup(self) -> None:
-        self.encoder = ViTEncoder(
-            self.image_size,
-            self.patch_size,
-            self.enc_dim,
-            self.enc_depth,
-            self.enc_heads,
-            dropout=self.dropout,
-            dtype=self.dtype,
-        )
+        if self.encoder_type == "unet":
+            from kuzu.models.unet_transformer import UNetTransformerEncoder
+
+            self.encoder = UNetTransformerEncoder(
+                out_dim=self.enc_dim,
+                depth=self.enc_depth,
+                num_heads=self.enc_heads,
+                dropout=self.dropout,
+                dtype=self.dtype,
+            )
+        elif self.encoder_type == "csa":
+            from kuzu.models.csa_vit import CSAViTEncoder
+
+            self.encoder = CSAViTEncoder(
+                self.image_size,
+                self.patch_size,
+                self.enc_dim,
+                self.enc_depth,
+                self.enc_heads,
+                dropout=self.dropout,
+                dtype=self.dtype,
+            )
+        else:
+            self.encoder = ViTEncoder(
+                self.image_size,
+                self.patch_size,
+                self.enc_dim,
+                self.enc_depth,
+                self.enc_heads,
+                dropout=self.dropout,
+                dtype=self.dtype,
+            )
         self.decoder = ARDecoder(
             self.vocab_size,
             self.max_len,

@@ -99,6 +99,7 @@ class RecognizeTrainer(BaseTrainer):
             dec_heads=int(cfg.get("dec_heads", 8)),
             max_len=int(cfg.get("max_label_length", 128)),
             dropout=float(cfg.get("dropout", 0.0)),
+            encoder_type=str(cfg.get("encoder", "vit")),
             dtype=dtype,
         )
         images = jnp.zeros((1, *size, 3), jnp.float32)
@@ -188,6 +189,7 @@ class RecognizePredictor:
             dec_depth=int(train_cfg.get("dec_depth", 4)),
             dec_heads=int(train_cfg.get("dec_heads", 8)),
             max_len=int(train_cfg.get("max_label_length", 128)),
+            encoder_type=str(train_cfg.get("encoder", "vit")),
         )
         images = jnp.zeros((1, *size, 3), jnp.float32)
         tokens = jnp.zeros((1, 8), jnp.int32)

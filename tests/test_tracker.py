@@ -1,0 +1,53 @@
+import numpy as np
+
+from kuzu.pipeline.tracker import ByteTracker, KalmanFilterCXCYAH, xyxy_to_cxcyah
+
+
+def test_kalman_tracks_constant_velocity():
+    kf = KalmanFilterCXCYAH()
+    mean, cov = kf.initiate(np.array([10.0, 10, 1.0, 20]))
+    for t in range(1, 6):
+        mean, cov = kf.predict(mean, cov)
+        mean, cov = kf.update(mean, cov, np.array([10.0 + 5 * t, 10, 1.0, 20]))
+    # velocity estimate approaches 5 px/frame
+    assert 3.0 < mean[4] < 6.0
+
+
+def test_bytetracker_consistent_ids():
+    tr = ByteTracker(new_track_thresh=0.5)
+    ids_seen = []
+    for t in range(10):
+        boxes = np.array(
+            [[10 + 4 * t, 10, 40 + 4 * t, 50], [200, 200 + 3 * t, 240, 260 + 3 * t]],
+            np.float32,
+        )
+        scores = np.array([0.9, 0.8])
+        classes = np.array([0, 1])
+        tracks = tr.update(boxes, scores, classes)
+        assert len(tracks) == 2
+        ids_seen.append(sorted(t.track_id for t in tracks))
+    # identities stable across all frames
+    assert all(ids == ids_seen[0] for ids in ids_seen)
+
+
+def test_bytetracker_low_conf_rescue():
+    tr = ByteTracker(track_high_thresh=0.5, track_low_thresh=0.1)
+    box = np.array([[50.0, 50, 100, 120]], np.float32)
+    tr.update(box, np.array([0.9]), np.array([0]))
+    # next frame the same object drops to low confidence: BYTE keeps the id
+    tracks = tr.update(box + 2, np.array([0.3]), np.array([0]))
+    assert len(tracks) == 1
+    assert tracks[0].track_id == 1
+
+
+def test_bytetracker_lost_and_removed():
+    tr = ByteTracker(track_buffer=2, new_track_thresh=0.5)
+    box = np.array([[50.0, 50, 100, 120]], np.float32)
+    tr.update(box, np.array([0.9]), np.array([0]))
+    empty = np.zeros((0, 4), np.float32)
+    for _ in range(3):  # > buffer
+        tracks = tr.update(empty, np.zeros(0), np.zeros(0, int))
+    assert len(tr.tracks) == 0
+    # re-detection gets a NEW id
+    tracks = tr.update(box, np.array([0.9]), np.array([0]))
+    assert tracks[0].track_id == 2
