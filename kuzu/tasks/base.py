@@ -140,6 +140,9 @@ class BaseTrainer:
             f"{steps_per_epoch} steps/epoch, mesh {dict(self.mesh.shape)}, "
             f"save_dir {self.save_dir}"
         )
+        from kuzu.core.loggers import attach_loggers
+
+        attach_loggers(self)
         self.callbacks.run("on_train_start", self)
 
         epochs = int(cfg.get("epochs", 1))

@@ -235,6 +235,7 @@ class DetectPredictor:
         )
         self.imgsz = int(train_cfg.get("imgsz", 640))
         data_spec = load_dataset_yaml(train_cfg.data)
+        self.names = data_spec.get("names", {})
         arch = str(train_cfg.get("model") or "yolov12n")
         self.detector = YoloDetector(arch, nc=data_spec["nc"], imgsz=self.imgsz)
         variables = self.detector.init(jax.random.key(0), imgsz=self.imgsz)
@@ -276,8 +277,15 @@ class DetectPredictor:
             canvas, gain, (px, py) = letterbox_np(img, self.imgsz)
             images.append(canvas.astype(np.float32) / 255.0)
             meta.append((h, w, gain, px, py))
+        import time as _time
+
+        t0 = _time.perf_counter()
         out = self._fwd(jnp.asarray(np.stack(images)))
         out = {k: np.asarray(v) for k, v in out.items()}
+        infer_ms = (_time.perf_counter() - t0) * 1e3 / len(paths)
+        from kuzu.api.results import Boxes, Results
+
+        names = getattr(self, "names", {})
         results = []
         for i, (h, w, gain, px, py) in enumerate(meta):
             valid = out["valid"][i]
@@ -286,12 +294,15 @@ class DetectPredictor:
             boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, w)
             boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h)
             results.append(
-                {
-                    "boxes": boxes,
-                    "scores": out["scores"][i][valid],
-                    "classes": out["classes"][i][valid],
-                    "path": str(paths[i]),
-                }
+                Results(
+                    orig_img=None,
+                    path=str(paths[i]),
+                    names=names,
+                    boxes=Boxes(
+                        boxes, out["scores"][i][valid], out["classes"][i][valid], (h, w)
+                    ),
+                    speed={"inference_ms": infer_ms},
+                )
             )
         return results
 
