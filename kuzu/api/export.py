@@ -101,6 +101,48 @@ def export_detector(
     )
 
 
+def export_tf(
+    fn,
+    example_args: tuple,
+    out_path: str | Path,
+    fmt: str = "saved_model",  # 'saved_model' | 'tflite'
+    platform: str = "cpu",
+) -> Path:
+    """Serialize via jax2tf (portable CPU lowering) to SavedModel or TFLite.
+
+    Parity with the reference exporter's TF-family targets
+    (``engine/exporter.py``: saved_model/pb/tflite). Requires tensorflow.
+    """
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    tf_fn = jax2tf.convert(
+        jax.jit(fn), native_serialization_platforms=(platform,)
+    )
+    specs = [tf.TensorSpec(np.shape(a), str(np.asarray(a).dtype)) for a in example_args]
+    module = tf.Module()
+    module.f = tf.function(tf_fn, input_signature=specs, autograph=False)
+    if fmt == "saved_model":
+        dst = out_path.with_suffix("") if out_path.suffix else out_path
+        tf.saved_model.save(module, str(dst))
+        return dst
+    if fmt == "tflite":
+        conv = tf.lite.TFLiteConverter.from_concrete_functions(
+            [module.f.get_concrete_function(*specs)], module
+        )
+        conv.target_spec.supported_ops = [
+            tf.lite.OpsSet.TFLITE_BUILTINS,
+            tf.lite.OpsSet.SELECT_TF_OPS,
+        ]
+        blob = conv.convert()
+        dst = out_path.with_suffix(".tflite")
+        dst.write_bytes(blob)
+        return dst
+    raise ValueError(f"unknown tf export format '{fmt}'")
+
+
 class Exporter:
     """Task-map component for ``Model(...).export()``."""
 
@@ -109,15 +151,48 @@ class Exporter:
 
     def run(self) -> Path:
         fmt = str(self.cfg.get("format", "stablehlo"))
-        if fmt != "stablehlo":
-            raise NotImplementedError(
-                f"format '{fmt}' not supported yet (stablehlo only)"
-            )
-        return export_detector(
-            str(self.cfg.get("model")),
+        run_dir = str(self.cfg.get("model"))
+        kwargs = dict(
             batch=int(self.cfg.get("batch", 1)),
             include_nms=bool(self.cfg.get("nms", True)),
             conf=float(self.cfg.get("conf") or 0.25),
             iou=float(self.cfg.get("iou", 0.45)),
             max_det=int(self.cfg.get("max_det", 300)),
         )
+        if fmt == "stablehlo":
+            return export_detector(run_dir, **kwargs)
+        if fmt in ("saved_model", "tflite"):
+            from kuzu.core.config import load_config
+            from kuzu.tasks.detect import DetectPredictor
+
+            predictor = DetectPredictor(
+                load_config(
+                    overrides={"model": run_dir, "conf": kwargs["conf"],
+                               "iou": kwargs["iou"], "max_det": kwargs["max_det"]}
+                )
+            )
+            predictor._setup()
+            det, variables, imgsz = (
+                predictor.detector, predictor.variables, predictor.imgsz
+            )
+            from kuzu.ops.nms import non_max_suppression
+
+            def fwd(images):
+                feats = det.module.apply(variables, images, train=False)
+                pred = det.decode(feats, imgsz=imgsz)
+                if kwargs["include_nms"]:
+                    out = non_max_suppression(
+                        pred, conf_thres=kwargs["conf"], iou_thres=kwargs["iou"],
+                        max_det=kwargs["max_det"],
+                    )
+                    return (out["boxes"], out["scores"],
+                            out["classes"], out["valid"])
+                return pred
+
+            example = (
+                jnp.zeros((kwargs["batch"], imgsz, imgsz, 3), jnp.float32),
+            )
+            return export_tf(
+                fwd, example, Path(run_dir) / "export" / f"detector_{fmt}", fmt=fmt
+            )
+        raise NotImplementedError(f"format '{fmt}' not supported")

@@ -147,3 +147,42 @@ def test_export_stablehlo_roundtrip(trained_run):
     out = fn(jnp.zeros((1, 64, 64, 3), jnp.float32))
     assert out["boxes"].shape == (1, 300, 4)
     assert out["valid"].dtype == bool
+
+
+def test_export_saved_model_and_autobackend(trained_run):
+    import numpy as np
+
+    from kuzu.api.backend import AutoBackend
+    from kuzu.core.config import load_config
+    from kuzu.api.export import Exporter
+
+    cfg = load_config(
+        overrides={"model": str(trained_run["run_dir"]), "format": "saved_model",
+                   "conf": 0.001, "batch": 1, "nms": True}
+    )
+    out = Exporter(cfg).run()
+    assert out.exists()
+
+    imgs = np.zeros((1, 64, 64, 3), np.float32)
+    # saved_model backend
+    be_tf = AutoBackend(out)
+    r_tf = be_tf(imgs)
+    assert r_tf["boxes"].shape == (1, 300, 4)
+    # run-dir backend gives the same results
+    be_run = AutoBackend(trained_run["run_dir"], conf=0.001)
+    r_run = be_run(imgs)
+    np.testing.assert_allclose(r_tf["boxes"], r_run["boxes"], atol=1e-3)
+    np.testing.assert_allclose(r_tf["scores"], r_run["scores"], atol=1e-4)
+
+
+def test_export_stablehlo_autobackend(trained_run):
+    import numpy as np
+
+    from kuzu.api.backend import AutoBackend
+    from kuzu.api.export import export_detector
+
+    blob = export_detector(trained_run["run_dir"], batch=1, include_nms=True, conf=0.001)
+    be = AutoBackend(blob)
+    r = be(np.zeros((1, 64, 64, 3), np.float32))
+    assert r["boxes"].shape == (1, 300, 4)
+    assert r["valid"].dtype == bool
