@@ -58,6 +58,19 @@ class DataLoader:
         self.num_workers = max(num_workers, 0)
         self.prefetch = prefetch
         self.epoch = 0
+        # multi-host: every process sees the same global index order (same
+        # seed) and loads only its 1/process_count slice of each batch —
+        # the DistributedSampler replacement. Single-process: no-op.
+        import jax
+
+        self.process_index = jax.process_index()
+        self.process_count = jax.process_count()
+        if batch_size % self.process_count != 0:
+            raise ValueError(
+                f"global batch {batch_size} must divide by process count "
+                f"{self.process_count}"
+            )
+        self.local_batch = batch_size // self.process_count
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -82,6 +95,11 @@ class DataLoader:
             if self.pad_last and n_real < self.batch_size:
                 pad = np.resize(idxs, self.batch_size - n_real)
                 idxs = np.concatenate([idxs, pad])
+            if self.process_count > 1:
+                lo = self.process_index * self.local_batch
+                hi = lo + self.local_batch
+                n_real = int(np.clip(n_real - lo, 0, self.local_batch))
+                idxs = idxs[lo:hi]
             yield idxs, n_real
 
     def _finish(self, samples: list, n_real: int) -> dict[str, np.ndarray]:

@@ -168,6 +168,12 @@ class YoloDetectionDataset:
             "degrees": 0.0,
             "translate": 0.1,
             "scale": 0.5,
+            # photometric extras (project Albumentations parity, default off)
+            "noise": 0.0,
+            "blur": 0.0,
+            "jpeg": 0.0,
+            "distort": 0.0,
+            "erasing": 0.0,
             **(hyp or {}),
         }
         self.seed = seed
@@ -279,6 +285,14 @@ class YoloDetectionDataset:
                 boxes = boxes * gain + [px, py, px, py]
         if self.augment:
             img = hsv_jitter(img, rng, hyp["hsv_h"], hyp["hsv_s"], hyp["hsv_v"])
+            if any(hyp.get(k, 0) for k in ("noise", "blur", "jpeg", "distort", "erasing")):
+                from kuzu.data.augment_extra import apply_photometric
+
+                img = apply_photometric(
+                    img, rng,
+                    p_noise=hyp["noise"], p_blur=hyp["blur"], p_jpeg=hyp["jpeg"],
+                    p_distort=hyp["distort"], p_dropout=hyp["erasing"],
+                )
             if rng.uniform() < hyp["fliplr"]:
                 img = img[:, ::-1]
                 if len(boxes):
