@@ -64,6 +64,44 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def param_spec_rules(rules: list[tuple[str, P]]):
+    """Build a path->PartitionSpec function from (substring, spec) rules.
+
+    The substring matches against the '/'-joined parameter path; first rule
+    wins; unmatched leaves stay replicated. Used for tensor parallelism over
+    the reserved ``model`` axis (the reference is DP-only; here TP is a
+    config away)."""
+
+    def rule_fn(path, leaf) -> P:
+        name = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+        )
+        for pattern, spec in rules:
+            if pattern in name:
+                # only shard when the leaf rank can hold the spec
+                if len(spec) <= getattr(leaf, "ndim", 0):
+                    return spec
+        return P()
+
+    return rule_fn
+
+
+def state_shardings(state, mesh: Mesh, rule_fn=None):
+    """NamedShardings for a TrainState-like pytree.
+
+    ``rule_fn(path, leaf) -> PartitionSpec`` decides parameter placement
+    (optimizer moments inherit it because their tree paths embed the
+    parameter names); None -> everything replicated.
+    """
+    import jax
+
+    def leaf_sharding(path, leaf):
+        spec = rule_fn(path, leaf) if rule_fn is not None else P()
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, state)
+
+
 def process_is_primary() -> bool:
     """Replacement for the reference's RANK in (-1, 0) guards."""
     return jax.process_index() == 0

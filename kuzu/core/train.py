@@ -142,6 +142,7 @@ def make_train_step(
     accumulate: int = 1,
     donate: bool = True,
     has_model_state: bool = False,
+    state_sharding: Any = None,
 ):
     """Build the jitted train step.
 
@@ -194,10 +195,11 @@ def make_train_step(
         if mesh is not None:
             repl = NamedSharding(mesh, P())
             data_sh = NamedSharding(mesh, P("data"))
+            st_sh = state_sharding if state_sharding is not None else repl
             return jax.jit(
                 step_fn,
-                in_shardings=(repl, data_sh, repl),
-                out_shardings=(repl, repl),
+                in_shardings=(st_sh, data_sh, repl),
+                out_shardings=(st_sh, repl),
                 donate_argnums=(0,) if donate else (),
             )
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
@@ -258,10 +260,11 @@ def make_train_step(
     if mesh is not None:
         repl = NamedSharding(mesh, P())
         data_sh = NamedSharding(mesh, P("data"))
+        st_sh = state_sharding if state_sharding is not None else repl
         return jax.jit(
             step_fn,
-            in_shardings=(repl, data_sh, repl),
-            out_shardings=(repl, repl),
+            in_shardings=(st_sh, data_sh, repl),
+            out_shardings=(st_sh, repl),
             donate_argnums=(0,) if donate else (),
         )
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

@@ -37,13 +37,14 @@ class YoloDetector:
         nc: int | None = None,
         dtype: Any = jnp.float32,
         imgsz: int = 640,
+        remat: bool = False,
     ):
         if isinstance(model, GraphSpec):
             self.spec = model
         else:
             path, scale = resolve_model_spec(str(model))
             self.spec = parse_model_yaml(path, scale=scale, nc=nc)
-        self.module = YoloGraph(self.spec, dtype=dtype)
+        self.module = YoloGraph(self.spec, dtype=dtype, remat=remat)
         self.imgsz = imgsz
         self.strides = list(self.spec.strides)
         self.nc = self.spec.nc

@@ -162,10 +162,19 @@ def resolve_model_spec(name: str) -> tuple[Path, str | None]:
 
 
 class YoloGraph(nn.Module):
-    """Executes a parsed GraphSpec; returns per-level Detect raw maps."""
+    """Executes a parsed GraphSpec; returns per-level Detect raw maps.
+
+    ``remat=True`` rematerializes each block's activations in the backward
+    pass (``jax.checkpoint`` via ``nn.remat``) — the memory/FLOPs trade for
+    large-batch or high-resolution training (SURVEY: jax.checkpoint note).
+    """
 
     spec: GraphSpec
     dtype: Any = jnp.float32
+    remat: bool = False
+
+    def _block(self, cls):
+        return nn.remat(cls, static_argnums=(2,)) if self.remat else cls
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> list[jnp.ndarray]:
@@ -191,16 +200,16 @@ class YoloGraph(nn.Module):
                     ins[0], train=train
                 )
             elif m == "C3k2":
-                cur = M.C3k2(
+                cur = self._block(M.C3k2)(
                     a[0], n=node.repeats, c3k=a[1], e=a[2],
                     dtype=self.dtype, name=name,
-                )(ins[0], train=train)
+                )(ins[0], train)
             elif m == "A2C2f":
-                cur = M.A2C2f(
+                cur = self._block(M.A2C2f)(
                     a[0], n=node.repeats, a2=a[1], area=a[2],
                     residual=a[3], mlp_ratio=a[4],
                     dtype=self.dtype, name=name,
-                )(ins[0], train=train)
+                )(ins[0], train)
             elif m == "SPPF":
                 cur = M.SPPF(a[0], a[1], dtype=self.dtype, name=name)(
                     ins[0], train=train

@@ -102,6 +102,14 @@ class BaseTrainer:
     # ------------------------------------------------------------ the loop
     def train(self) -> dict:
         cfg = self.cfg
+        if cfg.get("debug_nans"):
+            import jax as _jax
+
+            _jax.config.update("jax_debug_nans", True)
+        if cfg.get("deterministic", True):
+            import os as _os
+
+            _os.environ.setdefault("TF_CUDNN_DETERMINISTIC", "1")
         t0 = time.perf_counter()
         train_loader, self.val_loader = self.build_datasets()
         steps_per_epoch = max(len(train_loader), 1)

@@ -77,7 +77,8 @@ class DetectTrainer(BaseTrainer):
         self.imgsz = int(cfg.get("imgsz", 640))
         name = str(cfg.get("model") or "yolov12n")
         self.detector = YoloDetector(
-            name, nc=self.data_spec["nc"], dtype=dtype, imgsz=self.imgsz
+            name, nc=self.data_spec["nc"], dtype=dtype, imgsz=self.imgsz,
+            remat=bool(cfg.get("remat", False)),
         )
         variables = self.detector.init(
             jax.random.key(int(cfg.get("seed", 0))), imgsz=self.imgsz
