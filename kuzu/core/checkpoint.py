@@ -73,17 +73,39 @@ class CheckpointManager:
 
     def restore(self, name: str = "last", like: Any | None = None) -> Any:
         """Restore a checkpoint; ``like`` provides the target pytree structure
-        (with ShapeDtypeStruct or concrete leaves)."""
+        (with ShapeDtypeStruct or concrete leaves).
+
+        Structure drift (e.g. a checkpoint written before a TrainState field
+        existed) falls back to a raw restore + path-matched graft onto
+        ``like`` — version-tolerant like the reference's shape-matched load.
+        """
         target = self._step_dir(name)
-        if like is not None:
-            ref = jax.tree.map(
-                lambda x: ocp.utils.to_shape_dtype_struct(x)
-                if hasattr(x, "shape")
-                else x,
-                like,
-            )
+        if like is None:
+            return self._ckpt.restore(target)
+        ref = jax.tree.map(
+            lambda x: ocp.utils.to_shape_dtype_struct(x)
+            if hasattr(x, "shape")
+            else x,
+            like,
+        )
+        try:
             return self._ckpt.restore(target, ref)
-        return self._ckpt.restore(target)
+        except ValueError:
+            # structure drift: a dataclass field added since the checkpoint
+            # was written (e.g. TrainState.model_state) is None in ``like``
+            # but absent on disk — restore the present fields as a dict and
+            # rebuild the dataclass around them.
+            import dataclasses
+
+            if not dataclasses.is_dataclass(like):
+                raise
+            present = {
+                f.name: getattr(ref, f.name)
+                for f in dataclasses.fields(like)
+                if getattr(like, f.name) is not None
+            }
+            restored = self._ckpt.restore(target, present)
+            return dataclasses.replace(like, **restored)
 
     def metadata(self, name: str = "last") -> dict:
         p = self._step_dir(name) / "kuzu_meta.json"
@@ -93,21 +115,39 @@ class CheckpointManager:
         return self._step_dir(name).exists()
 
 
+def _norm_path(path) -> tuple:
+    """Key-type-agnostic path: dataclass attrs, dict keys and sequence
+    indices all normalize to their string names."""
+    out = []
+    for p in path:
+        for attr in ("key", "name", "idx"):
+            v = getattr(p, attr, None)
+            if v is not None:
+                out.append(str(v))
+                break
+        else:
+            out.append(str(p))
+    return tuple(out)
+
+
 def partial_load(
     target_params: Any, source_params: Any, verbose: bool = True
 ) -> tuple[Any, int, int]:
     """Graft shape-compatible leaves of ``source`` onto ``target`` by path.
 
     The rebuild of the reference's architecture-surgery load (keep only
-    name+shape matching tensors). Returns (params, n_loaded, n_total).
+    name+shape matching tensors). Paths compare by name, so dataclass and
+    dict representations of the same tree interoperate (orbax restores
+    dataclasses as dicts). Returns (params, n_loaded, n_total).
     """
-    src_flat = dict(
-        jax.tree_util.tree_flatten_with_path(source_params)[0]
-    )
+    src_flat = {
+        _norm_path(p): leaf
+        for p, leaf in jax.tree_util.tree_flatten_with_path(source_params)[0]
+    }
     tgt_flat, treedef = jax.tree_util.tree_flatten_with_path(target_params)
     out, loaded = [], 0
     for path, leaf in tgt_flat:
-        src = src_flat.get(path)
+        src = src_flat.get(_norm_path(path))
         if src is not None and hasattr(src, "shape") and src.shape == leaf.shape:
             out.append(np.asarray(src).astype(leaf.dtype))
             loaded += 1

@@ -108,7 +108,7 @@ class KuzushijiPipeline:
             {k: out[k][i] for k in ("boxes", "scores", "classes", "valid")}
             for i in range(len(tiles))
         ]
-        return merge_tile_detections(per_tile, metas)
+        return merge_tile_detections(per_tile, metas, page_shape=img.shape[:2])
 
     def crop_columns(
         self, image: np.ndarray, boxes: np.ndarray

@@ -84,6 +84,7 @@ def merge_tile_detections(
     metas: list[dict],
     iou_thres: float = 0.55,
     max_det: int = 2000,
+    page_shape: tuple[int, int] | None = None,  # (h, w) to clip into
 ) -> dict[str, np.ndarray]:
     """Per-tile padded detections -> page frame -> cross-tile NMS."""
     import jax.numpy as jnp
@@ -98,6 +99,10 @@ def merge_tile_detections(
         boxes = (boxes - [pad_x, pad_y, pad_x, pad_y]) / meta["gain"]
         ox, oy = meta["origin"]
         boxes += [ox, oy, ox, oy]
+        if page_shape is not None:
+            h, w = page_shape
+            boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, w)
+            boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h)
         all_boxes.append(boxes)
         all_scores.append(np.asarray(det["scores"])[v])
         all_classes.append(np.asarray(det["classes"])[v])

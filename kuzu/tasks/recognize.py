@@ -223,6 +223,26 @@ class RecognizePredictor:
         return self.tokenizer.batch_decode(np.asarray(out))
 
 
+class RecognizeValidator:
+    """Standalone CER evaluation of a trained run on a data split."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+
+    def run(self) -> dict:
+        from kuzu.tools.evaluation import evaluate_recognizer
+
+        return evaluate_recognizer(
+            str(self.cfg.get("model")),
+            str(self.cfg.get("data")),
+            split=str(self.cfg.get("split", "val")),
+            max_samples=self.cfg.get("max_samples"),
+        )
+
+
 register_task(
-    "recognize", trainer=RecognizeTrainer, predictor=RecognizePredictor
+    "recognize",
+    trainer=RecognizeTrainer,
+    predictor=RecognizePredictor,
+    validator=RecognizeValidator,
 )

@@ -1,0 +1,165 @@
+"""Full-cascade integration: page -> column detect -> crop -> recognize -> LM.
+
+The flagship pipeline (reference ``scripts/inference.py``) driven end-to-end
+with tiny models trained on synthetic pages in this test module.
+"""
+
+import numpy as np
+import pytest
+import yaml
+from PIL import Image, ImageDraw
+
+CHAR_COLORS = {"a": (0, 0, 0), "b": (180, 0, 0), "c": (0, 0, 180)}
+COLUMN_TEXTS = [["abc", "bca"], ["cab", "acb"]]
+
+
+def _page(texts, size=192):
+    """A page with one dark vertical column per text, right to left."""
+    img = Image.new("RGB", (size, size), (250, 247, 240))
+    d = ImageDraw.Draw(img)
+    cols = []
+    for ci, text in enumerate(texts):
+        x = size - 60 - ci * 80  # right to left
+        y0, col_h = 10, 20 + len(text) * 45
+        d.rectangle([x - 4, y0 - 4, x + 36, y0 + col_h], outline=(120, 120, 110), width=2)
+        for j, ch in enumerate(text):
+            d.rectangle([x, y0 + 6 + j * 45, x + 32, y0 + 40 + j * 45],
+                        fill=CHAR_COLORS[ch])
+        cols.append((x - 4, y0 - 4, x + 36, y0 + col_h))
+    return img, cols
+
+
+@pytest.fixture(scope="module")
+def pipeline_runs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cascade")
+    # -------- column detection dataset (pages with column boxes)
+    for split, n in (("train", 12), ("val", 4)):
+        (root / "det/images" / split).mkdir(parents=True)
+        (root / "det/labels" / split).mkdir(parents=True)
+        rng = np.random.default_rng(0 if split == "train" else 1)
+        for i in range(n):
+            texts = COLUMN_TEXTS[i % 2]
+            img, cols = _page(texts)
+            img.save(root / "det/images" / split / f"{i}.jpg")
+            lines = []
+            for x1, y1, x2, y2 in cols:
+                lines.append(
+                    f"0 {(x1+x2)/2/192:.5f} {(y1+y2)/2/192:.5f} "
+                    f"{(x2-x1)/192:.5f} {(y2-y1)/192:.5f}"
+                )
+            (root / "det/labels" / split / f"{i}.txt").write_text("\n".join(lines))
+    (root / "det/dataset.yaml").write_text(
+        yaml.safe_dump({"path": ".", "train": "images/train", "val": "images/val",
+                        "names": {0: "column"}, "nc": 1})
+    )
+    # -------- recognizer dataset (column crops -> text)
+    all_texts = [t for pair in COLUMN_TEXTS for t in pair]
+    for split, reps in (("train", 6), ("val", 1)):
+        for sub in ("images", "labels"):
+            (root / "ocr" / split / sub / "b").mkdir(parents=True)
+        k = 0
+        for _ in range(reps):
+            for t in all_texts:
+                img = Image.new("RGB", (40, 160), (250, 247, 240))
+                d = ImageDraw.Draw(img)
+                for j, ch in enumerate(t):
+                    d.rectangle([4, 10 + j * 45, 36, 44 + j * 45], fill=CHAR_COLORS[ch])
+                img.save(root / "ocr" / split / "images" / "b" / f"{k}.png")
+                (root / "ocr" / split / "labels" / "b" / f"{k}.txt").write_text(t)
+                k += 1
+    # -------- LM corpus
+    (root / "lm").mkdir()
+    (root / "lm/train.txt").write_text("\n".join(all_texts * 6))
+
+    from kuzu.core.config import load_config
+    from kuzu.tasks.detect import DetectTrainer
+    from kuzu.tasks.lm import LMTrainer
+    from kuzu.tasks.recognize import RecognizeTrainer
+
+    det_cfg = load_config(overrides=dict(
+        task="detect", model="yolov12n", data=str(root / "det/dataset.yaml"),
+        epochs=2, batch=4, imgsz=96, max_boxes=8, workers=0, dtype="float32",
+        mosaic=0.0, close_mosaic=0, optimizer="adamw", lr0=0.002,
+        warmup_epochs=0.0, project=str(root / "runs"), name="det",
+        exist_ok=True, val_batches=1,
+    ))
+    det_trainer = DetectTrainer(det_cfg)
+    det_trainer.train()
+
+    rec_cfg = load_config(overrides=dict(
+        task="recognize", data=str(root / "ocr"), epochs=2, batch=6,
+        imgsz=[160, 40], patch=8, enc_dim=32, enc_depth=1, enc_heads=2,
+        dec_dim=32, dec_depth=1, dec_heads=2, max_label_length=8,
+        optimizer="adamw", lr0=0.002, warmup_epochs=0.0, workers=0,
+        dtype="float32", project=str(root / "runs"), name="rec", exist_ok=True,
+    ))
+    rec_trainer = RecognizeTrainer(rec_cfg)
+    rec_trainer.train()
+
+    lm_cfg = load_config(overrides=dict(
+        task="lm", data=str(root / "lm"), epochs=1, batch=8, max_length=8,
+        dim=32, depth=1, heads=2, optimizer="adamw", warmup_epochs=0.0,
+        workers=0, dtype="float32", project=str(root / "runs"), name="lm",
+        exist_ok=True,
+    ))
+    LMTrainer(lm_cfg).train()
+
+    page, cols = _page(COLUMN_TEXTS[0])
+    page_path = root / "test_page.jpg"
+    page.save(page_path)
+    return {
+        "det": det_trainer.save_dir,
+        "rec": rec_trainer.save_dir,
+        "lm": root / "runs/lm/lm",
+        "page": page_path,
+        "gt_cols": cols,
+    }
+
+
+def test_cascade_end_to_end(pipeline_runs):
+    from kuzu.pipeline.cascade import KuzushijiPipeline
+
+    pipe = KuzushijiPipeline(
+        column_model=pipeline_runs["det"],
+        recognizer=pipeline_runs["rec"],
+        lm=pipeline_runs["lm"],
+        conf=0.001,
+    )
+    result = pipe.process_page(pipeline_runs["page"])
+    assert result["image"].endswith("test_page.jpg")
+    assert isinstance(result["columns"], list)
+    # every detected column has a text and an LM score
+    for col in result["columns"]:
+        assert "box" in col and "score" in col
+        assert "text" in col
+        if result["columns"]:
+            assert "lm_score" in col
+    assert "text" in result
+    # save + reload yaml roundtrip
+    out = pipeline_runs["page"].parent / "result.yaml"
+    pipe.save_result(result, out)
+    import yaml as _yaml
+
+    back = _yaml.safe_load(out.read_text())
+    assert back["image"] == result["image"]
+
+
+def test_cascade_tiled_detection(pipeline_runs):
+    from kuzu.pipeline.cascade import KuzushijiPipeline
+
+    pipe = KuzushijiPipeline(
+        column_model=pipeline_runs["det"], conf=0.001, tile_grid=2
+    )
+    dets = pipe.detect_columns(pipeline_runs["page"])
+    assert dets["boxes"].shape[1] == 4
+    # merged page-frame boxes stay within the page
+    if len(dets["boxes"]):
+        assert (dets["boxes"] >= -1).all() and (dets["boxes"] <= 193).all()
+
+
+def test_cascade_column_ordering():
+    from kuzu.pipeline.cascade import sort_columns_right_to_left
+
+    boxes = np.array([[10.0, 0, 40, 100], [150, 0, 180, 100], [80, 0, 110, 100]])
+    order = sort_columns_right_to_left(boxes)
+    np.testing.assert_array_equal(order, [1, 2, 0])
