@@ -110,6 +110,61 @@ def _greedy_match(
     return pairs, ua, ub
 
 
+class GMC:
+    """Global (camera) motion compensation via sparse optical flow.
+
+    Parity with the reference's ``trackers/utils/gmc.py`` sparse-flow method:
+    goodFeaturesToTrack + pyramidal LK between consecutive frames, robust
+    partial-affine fit; the affine warps track predictions into the current
+    frame before association.
+    """
+
+    def __init__(self, max_corners: int = 200):
+        self.max_corners = max_corners
+        self._prev_gray = None
+
+    def update(self, frame_rgb: np.ndarray) -> np.ndarray:
+        """Returns a 2x3 affine mapping previous-frame coords -> current."""
+        import cv2
+
+        gray = cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2GRAY)
+        M = np.eye(2, 3, dtype=np.float32)
+        if self._prev_gray is not None:
+            pts = cv2.goodFeaturesToTrack(
+                self._prev_gray, maxCorners=self.max_corners,
+                qualityLevel=0.01, minDistance=8,
+            )
+            if pts is not None and len(pts) >= 8:
+                nxt, status, _ = cv2.calcOpticalFlowPyrLK(
+                    self._prev_gray, gray, pts, None
+                )
+                good = status.ravel() == 1
+                if good.sum() >= 8:
+                    A, _ = cv2.estimateAffinePartial2D(
+                        pts[good], nxt[good], method=cv2.RANSAC
+                    )
+                    if A is not None:
+                        M = A.astype(np.float32)
+        self._prev_gray = gray
+        return M
+
+    @staticmethod
+    def warp_box(box: np.ndarray, M: np.ndarray) -> np.ndarray:
+        pts = np.array(
+            [[box[0], box[1]], [box[2], box[3]]], np.float32
+        )
+        warped = pts @ M[:, :2].T + M[:, 2]
+        return np.array(
+            [
+                min(warped[0, 0], warped[1, 0]),
+                min(warped[0, 1], warped[1, 1]),
+                max(warped[0, 0], warped[1, 0]),
+                max(warped[0, 1], warped[1, 1]),
+            ],
+            np.float32,
+        )
+
+
 class ByteTracker:
     def __init__(
         self,
@@ -200,3 +255,31 @@ class ByteTracker:
                 self._next_id += 1
 
         return [t for t in self.tracks if t.state == "tracked"]
+
+
+class BoTSORT(ByteTracker):
+    """ByteTrack + camera-motion compensation (reference ``bot_sort.py``).
+
+    Call ``update(boxes, scores, classes, frame=rgb)``: the GMC affine warps
+    every track's predicted box into the current frame before association —
+    keeps identities through pans/zooms (page-scanning camera motion).
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.gmc = GMC()
+
+    def update(
+        self,
+        boxes: np.ndarray,
+        scores: np.ndarray,
+        classes: np.ndarray,
+        frame: np.ndarray | None = None,
+    ) -> list[Track]:
+        if frame is not None:
+            M = self.gmc.update(frame)
+            if not np.allclose(M, np.eye(2, 3)):
+                for t in self.tracks:
+                    warped = GMC.warp_box(t.box, M)
+                    t.mean[:4] = xyxy_to_cxcyah(warped)
+        return super().update(boxes, scores, classes)

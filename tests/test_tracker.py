@@ -51,3 +51,44 @@ def test_bytetracker_lost_and_removed():
     # re-detection gets a NEW id
     tracks = tr.update(box, np.array([0.9]), np.array([0]))
     assert tracks[0].track_id == 2
+
+
+def test_gmc_estimates_translation():
+    import cv2
+
+    from kuzu.pipeline.tracker import GMC
+
+    rng = np.random.default_rng(0)
+    base = (rng.uniform(0, 255, (120, 160)) > 250).astype(np.uint8) * 255
+    base = cv2.dilate(base, np.ones((3, 3), np.uint8))
+    f1 = np.stack([base] * 3, -1)
+    f2 = np.roll(f1, (5, 9), axis=(0, 1))  # camera shifted by (9, 5)
+    g = GMC()
+    g.update(f1)
+    M = g.update(f2)
+    assert abs(M[0, 2] - 9) < 2 and abs(M[1, 2] - 5) < 2
+    box = np.array([10.0, 10, 30, 30])
+    warped = GMC.warp_box(box, M)
+    assert abs(warped[0] - 19) < 2 and abs(warped[1] - 15) < 2
+
+
+def test_botsort_survives_camera_shift():
+    import cv2
+
+    from kuzu.pipeline.tracker import BoTSORT
+
+    rng = np.random.default_rng(1)
+    texture = (rng.uniform(0, 255, (200, 200)) > 248).astype(np.uint8) * 255
+    texture = cv2.dilate(texture, np.ones((3, 3), np.uint8))
+    tr = BoTSORT(new_track_thresh=0.5)
+    obj = np.array([[80.0, 80, 120, 130]], np.float32)
+    ids = []
+    shift = 0
+    for f in range(6):
+        shift = f * 12  # fast pan: object appears shifted each frame
+        frame = np.stack([np.roll(texture, shift, axis=1)] * 3, -1)
+        boxes = obj + [shift, 0, shift, 0]
+        tracks = tr.update(boxes, np.array([0.9]), np.array([0]), frame=frame)
+        assert len(tracks) == 1
+        ids.append(tracks[0].track_id)
+    assert len(set(ids)) == 1, f"identity lost under camera motion: {ids}"
