@@ -28,6 +28,9 @@ examples:
 
 def main(argv: list[str] | None = None) -> int:
     import os
+    from kuzu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     if os.environ.get("KUZU_FORCE_CPU"):
         # some site configs pin JAX_PLATFORMS; the config update always wins

@@ -206,6 +206,9 @@ def make_server(run_dir: str, host: str = "127.0.0.1", port: int = 8000):
 def main(argv=None):
     import argparse
 
+    from kuzu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser("kuzu serve")
     ap.add_argument("--model", required=True, help="trained detect run dir")
     ap.add_argument("--host", default="127.0.0.1")
