@@ -182,6 +182,7 @@ class AAttn(nn.Module):
     dim: int
     num_heads: int
     area: int = 1
+    impl: str = "einsum"  # 'einsum' | 'dpa' (jax.nn.dot_product_attention)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -207,14 +208,19 @@ class AAttn(nn.Module):
             return t.reshape(t.shape[0], t.shape[1], self.num_heads, hd)
 
         qh, kh, vh = heads(q), heads(k), heads(v_t)
-        attn = jnp.einsum(
-            "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
-        ) * (hd**-0.5)
-        attn = jax.nn.softmax(attn, axis=-1).astype(vh.dtype)
-        out = jnp.einsum(
-            "bhqk,bkhd->bqhd", attn, vh, preferred_element_type=jnp.float32
-        ).astype(x.dtype)
-        out = out.reshape(B, H, W, self.dim)
+        if self.impl == "dpa":
+            out = jax.nn.dot_product_attention(qh, kh, vh).reshape(
+                B, H, W, self.dim
+            )
+        else:
+            attn = jnp.einsum(
+                "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
+            ) * (hd**-0.5)
+            attn = jax.nn.softmax(attn, axis=-1).astype(vh.dtype)
+            out = jnp.einsum(
+                "bhqk,bkhd->bqhd", attn, vh, preferred_element_type=jnp.float32
+            ).astype(x.dtype)
+            out = out.reshape(B, H, W, self.dim)
         return Conv(self.dim, 1, act=False, dtype=self.dtype, name="proj")(
             out + pe, train=train
         )
@@ -227,13 +233,15 @@ class ABlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 1.2
     area: int = 1
+    attn_impl: str = "einsum"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = x + AAttn(self.dim, self.num_heads, self.area, dtype=self.dtype, name="attn")(
-            x, train=train
-        )
+        x = x + AAttn(
+            self.dim, self.num_heads, self.area, impl=self.attn_impl,
+            dtype=self.dtype, name="attn",
+        )(x, train=train)
         h = int(self.dim * self.mlp_ratio)
         y = Conv(h, 1, dtype=self.dtype, name="mlp1")(x, train=train)
         y = Conv(self.dim, 1, act=False, dtype=self.dtype, name="mlp2")(y, train=train)
@@ -253,6 +261,7 @@ class A2C2f(nn.Module):
     e: float = 0.5
     g: int = 1
     shortcut: bool = True
+    attn_impl: str = "einsum"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -264,11 +273,11 @@ class A2C2f(nn.Module):
             if self.a2:
                 t = ABlock(
                     c_, num_heads, self.mlp_ratio, self.area,
-                    dtype=self.dtype, name=f"m{i}_0",
+                    attn_impl=self.attn_impl, dtype=self.dtype, name=f"m{i}_0",
                 )(y[-1], train=train)
                 t = ABlock(
                     c_, num_heads, self.mlp_ratio, self.area,
-                    dtype=self.dtype, name=f"m{i}_1",
+                    attn_impl=self.attn_impl, dtype=self.dtype, name=f"m{i}_1",
                 )(t, train=train)
             else:
                 t = C3k(c_, 2, self.shortcut, self.g, dtype=self.dtype, name=f"m{i}")(
