@@ -48,6 +48,7 @@ class GraphSpec:
     save: list[int]  # indices whose outputs later nodes consume
     detect_ch: list[int] = field(default_factory=list)
     strides: list[int] = field(default_factory=list)
+    legacy_head: bool = False  # v8-style Detect cls branch
 
 
 def parse_model_yaml(
@@ -98,6 +99,12 @@ def parse_model_yaml(
             nodes.append(
                 NodeSpec(i, frm_abs, mod, [c2, c3k, e], c2, s_in, n_scaled)
             )
+        elif mod == "C2f":
+            c2 = make_divisible(min(args[0], max_ch) * width)
+            shortcut = bool(args[1]) if len(args) > 1 else False
+            nodes.append(
+                NodeSpec(i, frm_abs, mod, [c2, shortcut], c2, s_in, n_scaled)
+            )
         elif mod == "A2C2f":
             c2 = make_divisible(min(args[0], max_ch) * width)
             a2 = bool(args[1]) if len(args) > 1 else True
@@ -130,6 +137,7 @@ def parse_model_yaml(
         ch.append(nodes[-1].c_out)
         strides.append(nodes[-1].stride)
 
+    legacy = not any(n.module in ("C3k2", "A2C2f") for n in nodes)
     return GraphSpec(
         nc=nc,
         scale=scale,
@@ -137,6 +145,7 @@ def parse_model_yaml(
         save=sorted(save),
         detect_ch=detect_ch,
         strides=det_strides,
+        legacy_head=legacy,
     )
 
 
@@ -199,6 +208,11 @@ class YoloGraph(nn.Module):
                 cur = M.DWConv(a[0], *a[1:], dtype=self.dtype, name=name)(
                     ins[0], train=train
                 )
+            elif m == "C2f":
+                cur = self._block(M.C2f)(
+                    a[0], n=node.repeats, shortcut=a[1],
+                    dtype=self.dtype, name=name,
+                )(ins[0], train)
             elif m == "C3k2":
                 cur = self._block(M.C3k2)(
                     a[0], n=node.repeats, c3k=a[1], e=a[2],
@@ -222,6 +236,7 @@ class YoloGraph(nn.Module):
                 result = M.Detect(
                     nc=self.spec.nc,
                     ch=tuple(self.spec.detect_ch),
+                    legacy=self.spec.legacy_head,
                     dtype=self.dtype,
                     name=name,
                 )(ins, train=train)

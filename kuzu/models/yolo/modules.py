@@ -168,6 +168,34 @@ class C3k2(nn.Module):
         )
 
 
+class C2f(nn.Module):
+    """CSP split block with full-width bottlenecks (reference ``C2f``,
+    ``block.py:225`` — bottleneck e=1.0, k=(3,3)); the v8-family workhorse."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        c = int(self.c2 * self.e)
+        y = Conv(2 * c, 1, dtype=self.dtype, name="cv1")(x, train=train)
+        parts = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            parts.append(
+                Bottleneck(
+                    c, self.shortcut, self.g, (3, 3), 1.0,
+                    dtype=self.dtype, name=f"m{i}",
+                )(parts[-1], train=train)
+            )
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate(parts, axis=-1), train=train
+        )
+
+
 class AAttn(nn.Module):
     """Area attention: full attention within contiguous row-major token areas.
 
@@ -349,11 +377,14 @@ class Detect(nn.Module):
 
     Returns the per-level raw maps; decode happens in
     ``kuzu.models.yolo.detector`` so train/val share one forward.
+    ``legacy=True`` uses the v8-style cls branch (two 3x3 Convs) instead of
+    the v12 depthwise variant (reference ``head.py`` legacy switch).
     """
 
     nc: int
     ch: Sequence[int]  # input channels per level
     reg_max: int = 16
+    legacy: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -374,13 +405,16 @@ class Detect(nn.Module):
                 name=f"box{i}_2",
                 bias_init=nn.initializers.constant(1.0),
             )(b)
-            # class branch (v12 non-legacy: DW 3x3 + 1x1, twice, then 1x1)
-            c = DWConv(x.shape[-1], 3, dtype=self.dtype, name=f"cls{i}_0dw")(
-                x, train=train
-            )
-            c = Conv(c3, 1, dtype=self.dtype, name=f"cls{i}_0pw")(c, train=train)
-            c = DWConv(c3, 3, dtype=self.dtype, name=f"cls{i}_1dw")(c, train=train)
-            c = Conv(c3, 1, dtype=self.dtype, name=f"cls{i}_1pw")(c, train=train)
+            if self.legacy:  # v8-style cls branch
+                c = Conv(c3, 3, dtype=self.dtype, name=f"cls{i}_0")(x, train=train)
+                c = Conv(c3, 3, dtype=self.dtype, name=f"cls{i}_1")(c, train=train)
+            else:  # v12: DW 3x3 + 1x1, twice
+                c = DWConv(x.shape[-1], 3, dtype=self.dtype, name=f"cls{i}_0dw")(
+                    x, train=train
+                )
+                c = Conv(c3, 1, dtype=self.dtype, name=f"cls{i}_0pw")(c, train=train)
+                c = DWConv(c3, 3, dtype=self.dtype, name=f"cls{i}_1dw")(c, train=train)
+                c = Conv(c3, 1, dtype=self.dtype, name=f"cls{i}_1pw")(c, train=train)
             c = nn.Conv(
                 self.nc,
                 (1, 1),
