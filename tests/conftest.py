@@ -20,6 +20,12 @@ import jax  # noqa: E402
 # as long as it happens before first backend use.
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: the suite is compile-dominated (~40 min cold);
+# cached reruns skip most of it
+from kuzu.core.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
