@@ -195,15 +195,9 @@ class YoloGraph(nn.Module):
             m, a = node.module, node.args
             name = f"n{node.index}_{m}"
             if m == "Conv":
-                cur = ins[0]
-                for r in range(node.repeats):
-                    cur = M.Conv(
-                        a[0], *(a[1:]), dtype=self.dtype, name=f"{name}_{r}"
-                    )(cur, train=train) if node.repeats > 1 else M.Conv(
-                        a[0], *a[1:], dtype=self.dtype, name=name
-                    )(cur, train=train)
-                    if node.repeats == 1:
-                        break
+                cur = M.Conv(a[0], *a[1:], dtype=self.dtype, name=name)(
+                    ins[0], train=train
+                )
             elif m == "DWConv":
                 cur = M.DWConv(a[0], *a[1:], dtype=self.dtype, name=name)(
                     ins[0], train=train
