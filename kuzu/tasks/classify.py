@@ -140,4 +140,83 @@ class ClassifyValidator:
         return trainer.validate(state)
 
 
-register_task("classify", trainer=ClassifyTrainer, validator=ClassifyValidator)
+class ClassifyPredictor:
+    """Restore a trained run; predict class names for glyph images."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.ready = False
+
+    def _setup(self):
+        import json
+
+        from kuzu.core.checkpoint import CheckpointManager
+        from kuzu.core.config import load_config
+        from kuzu.core.train import build_optimizer, init_state
+
+        run_dir = Path(str(self.cfg.get("model")))
+        train_cfg = load_config(
+            run_dir / "args.yaml" if (run_dir / "args.yaml").exists() else None
+        )
+        class_map = json.loads((run_dir / "class_map.json").read_text())
+        self.idx_to_name = {int(v): k for k, v in class_map.items()}
+        self.imgsz = int(train_cfg.get("imgsz", 128))
+        self.channels = int(train_cfg.get("channels", 1))
+        self.model = SimpleViT(
+            num_classes=len(class_map),
+            image_size=(self.imgsz,) * 2,
+            patch_size=(int(train_cfg.get("patch", 16)),) * 2,
+            dim=int(train_cfg.get("dim", 256)),
+            depth=int(train_cfg.get("depth", 6)),
+            num_heads=int(train_cfg.get("heads", 8)),
+        )
+        sample = jnp.zeros((1, self.imgsz, self.imgsz, self.channels), jnp.float32)
+        params = self.model.init(jax.random.key(0), sample)["params"]
+        state = init_state(params, build_optimizer(train_cfg), use_ema=True)
+        mgr = CheckpointManager(run_dir / "weights")
+        state = mgr.restore("best" if mgr.exists("best") else "last", like=state)
+        self.params = (
+            state.ema_params if state.ema_params is not None else state.params
+        )
+        self._fwd = jax.jit(
+            lambda p, x: jax.nn.softmax(
+                self.model.apply({"params": p}, x, train=False), -1
+            )
+        )
+        self.ready = True
+
+    def __call__(self, source) -> list[dict]:
+        if not self.ready:
+            self._setup()
+        from PIL import Image
+
+        paths = [source] if isinstance(source, (str, Path)) else list(source)
+        imgs = []
+        for p in paths:
+            img = Image.open(p).convert("L" if self.channels == 1 else "RGB")
+            img = img.resize((self.imgsz, self.imgsz), Image.BILINEAR)
+            arr = np.asarray(img, np.float32) / 255.0
+            if self.channels == 1:
+                arr = arr[..., None]
+            imgs.append(arr)
+        probs = np.asarray(self._fwd(self.params, jnp.asarray(np.stack(imgs))))
+        out = []
+        for p, pr in zip(paths, probs):
+            top = int(pr.argmax())
+            out.append(
+                {
+                    "path": str(p),
+                    "class": top,
+                    "name": self.idx_to_name.get(top, str(top)),
+                    "confidence": float(pr[top]),
+                }
+            )
+        return out
+
+
+register_task(
+    "classify",
+    trainer=ClassifyTrainer,
+    validator=ClassifyValidator,
+    predictor=ClassifyPredictor,
+)

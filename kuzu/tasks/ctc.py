@@ -152,4 +152,66 @@ class CTCTrainer(BaseTrainer):
         return {"cer": cer, "fitness": 1.0 - cer}
 
 
-register_task("ctc", trainer=CTCTrainer)
+class CTCPredictor:
+    """Restore a trained CRNN run; transcribe column images (greedy CTC)."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.ready = False
+
+    def _setup(self):
+        from kuzu.core.checkpoint import CheckpointManager
+        from kuzu.core.config import load_config
+        from kuzu.core.train import build_optimizer, init_state
+
+        from pathlib import Path as _P
+
+        run_dir = _P(str(self.cfg.get("model")))
+        train_cfg = load_config(
+            run_dir / "args.yaml" if (run_dir / "args.yaml").exists() else None
+        )
+        self.tokenizer = CharTokenizer.load(run_dir / "tokenizer.json")
+        self.image_size = _image_size(train_cfg)
+        from kuzu.models.crnn import CRNN
+
+        self.model = CRNN(
+            num_classes=len(self.tokenizer),
+            lstm_hidden=int(train_cfg.get("lstm_hidden", 256)),
+            time_axis=str(train_cfg.get("time_axis", "height")),
+            max_boxes=int(train_cfg.get("max_boxes", 0)),
+        )
+        sample = jnp.zeros((1, *self.image_size, 3), jnp.float32)
+        variables = jax.jit(lambda r: self.model.init(r, sample, train=False))(
+            jax.random.key(0)
+        )
+        params = variables["params"]
+        model_state = {k: v for k, v in variables.items() if k != "params"}
+        state = init_state(
+            params, build_optimizer(train_cfg), use_ema=True, model_state=model_state
+        )
+        mgr = CheckpointManager(run_dir / "weights")
+        state = mgr.restore("best" if mgr.exists("best") else "last", like=state)
+        p = state.ema_params if state.ema_params is not None else state.params
+        self.variables = {"params": p, **(state.model_state or {})}
+
+        def _fwd(variables, images):
+            logits, boxes = self.model.apply(variables, images, train=False)
+            return ctc_greedy_decode(logits, blank=0), boxes
+
+        self._fwd = jax.jit(_fwd)
+        self.ready = True
+
+    def __call__(self, source) -> list[str]:
+        if not self.ready:
+            self._setup()
+        from kuzu.data.ocr_datasets import load_letterboxed
+        from pathlib import Path as _P
+
+        paths = [source] if isinstance(source, (str, _P)) else list(source)
+        images = np.stack([load_letterboxed(p, *self.image_size) for p in paths])
+        (seqs, lens), _ = self._fwd(self.variables, jnp.asarray(images))
+        seqs, lens = np.asarray(seqs), np.asarray(lens)
+        return [self.tokenizer.decode(s[:n]) for s, n in zip(seqs, lens)]
+
+
+register_task("ctc", trainer=CTCTrainer, predictor=CTCPredictor)

@@ -135,3 +135,21 @@ def test_cli_subprocess_train(glyph_dir, tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "Traceback" not in proc.stderr
     assert (tmp_path / "cli_runs" / "classify" / "cli" / "weights" / "last").exists()
+
+
+def test_classify_predictor_roundtrip(glyph_dir, tmp_path):
+    from kuzu.core.config import load_config
+    from kuzu.tasks.classify import ClassifyPredictor, ClassifyTrainer
+
+    cfg = _train_cfg(glyph_dir, tmp_path, epochs=10, name="pred", lr0=0.003)
+    trainer = ClassifyTrainer(cfg)
+    trainer.train()
+    predictor = ClassifyPredictor(
+        load_config(overrides={"model": str(trainer.save_dir)})
+    )
+    imgs = sorted((glyph_dir / "val" / "U+3042").glob("*.png"))[:2]
+    out = predictor(imgs)
+    assert len(out) == 2
+    for r in out:
+        assert r["name"].startswith("U+")
+        assert 0.0 <= r["confidence"] <= 1.0

@@ -83,3 +83,24 @@ def test_ctc_trainer_end_to_end(column_root, tmp_path):
     assert "cer" in result
     assert "box_loss" in result
     assert (trainer.save_dir / "tokenizer.json").exists()
+
+
+def test_ctc_predictor_roundtrip(column_root, tmp_path):
+    from kuzu.core.config import load_config
+    from kuzu.tasks.ctc import CTCPredictor, CTCTrainer
+
+    cfg = load_config(
+        overrides=dict(
+            task="ctc", data=str(column_root), epochs=1, batch=6,
+            imgsz=[128, 32], max_label_length=8, max_boxes=4, lstm_hidden=32,
+            optimizer="adamw", warmup_epochs=0.0, workers=0, dtype="float32",
+            project=str(tmp_path / "runs"), name="ctcp", exist_ok=True,
+        )
+    )
+    trainer = CTCTrainer(cfg)
+    trainer.train()
+    predictor = CTCPredictor(load_config(overrides={"model": str(trainer.save_dir)}))
+    imgs = sorted((column_root / "val" / "images" / "b1").glob("*.png"))[:2]
+    out = predictor(imgs)
+    assert len(out) == 2
+    assert all(isinstance(t, str) for t in out)
