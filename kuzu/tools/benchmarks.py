@@ -60,10 +60,18 @@ def benchmark_detectors(
 
 
 def benchmark_model(model, batches: tuple[int, ...] = (1, 8), **kwargs) -> dict:
-    """``Model.benchmark()`` entry: times the facade's own architecture."""
-    rows = benchmark_detectors(
-        scales=(model.model_spec,), batches=batches, **kwargs
-    )
+    """``Model.benchmark()`` entry: times the facade's own architecture.
+
+    A trained-run directory resolves to its architecture via args.yaml."""
+    from pathlib import Path
+
+    spec = str(model.model_spec)
+    run_args = Path(spec) / "args.yaml"
+    if run_args.exists():
+        from kuzu.core.config import load_config
+
+        spec = str(load_config(run_args).get("model") or "yolov12n")
+    rows = benchmark_detectors(scales=(spec,), batches=batches, **kwargs)
     return {"rows": rows}
 
 
