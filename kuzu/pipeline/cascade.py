@@ -224,6 +224,53 @@ class KuzushijiPipeline:
             }
         return result
 
+    def process_pages(self, image_paths: list[str | Path]) -> list[dict]:
+        """Batched multi-page cascade: ONE detector forward for all pages and
+        ONE recognizer generate for all columns of all pages — the reference
+        loops pages and crops sequentially (``inference.py:94``); batching
+        amortizes dispatch and keeps the MXU fed."""
+        import cv2
+
+        if self.tile_grid > 1:
+            return [self.process_page(p) for p in image_paths]
+        assert self.column_det is not None, "no column model configured"
+        detections = self.column_det(list(image_paths))  # one batched forward
+        results: list[dict] = []
+        all_crops: list[np.ndarray] = []
+        crop_spans: list[tuple[int, int]] = []
+        for path, det in zip(image_paths, detections):
+            image = cv2.cvtColor(cv2.imread(str(path)), cv2.COLOR_BGR2RGB)
+            order = sort_columns_right_to_left(det["boxes"])
+            boxes = det["boxes"][order]
+            scores = det["scores"][order]
+            result = {
+                "image": str(path),
+                "columns": [
+                    {"box": b.tolist(), "score": float(s)}
+                    for b, s in zip(boxes, scores)
+                ],
+            }
+            if self.recognizer is not None:
+                crops = self.crop_columns(image, boxes)
+                crop_spans.append((len(all_crops), len(all_crops) + len(crops)))
+                all_crops.extend(crops)
+            else:
+                crop_spans.append((0, 0))
+            results.append(result)
+        if self.recognizer is not None and all_crops:
+            texts = self.recognize_crops(all_crops)  # one batched generate
+            for result, (lo, hi) in zip(results, crop_spans):
+                page_texts = texts[lo:hi]
+                for col, t in zip(result["columns"], page_texts):
+                    col["text"] = t
+                result["text"] = "\n".join(page_texts)
+                if self.lm is not None and page_texts:
+                    for col, s in zip(
+                        result["columns"], self.rescore_texts(page_texts)
+                    ):
+                        col["lm_score"] = s
+        return results
+
     def save_result(self, result: dict, out_path: str | Path) -> None:
         Path(out_path).parent.mkdir(parents=True, exist_ok=True)
         with open(out_path, "w") as f:

@@ -163,3 +163,25 @@ def test_cascade_column_ordering():
     boxes = np.array([[10.0, 0, 40, 100], [150, 0, 180, 100], [80, 0, 110, 100]])
     order = sort_columns_right_to_left(boxes)
     np.testing.assert_array_equal(order, [1, 2, 0])
+
+
+def test_cascade_batched_pages(pipeline_runs, tmp_path):
+    from kuzu.pipeline.cascade import KuzushijiPipeline
+
+    pipe = KuzushijiPipeline(
+        column_model=pipeline_runs["det"],
+        recognizer=pipeline_runs["rec"],
+        conf=0.001,
+    )
+    pages = [pipeline_runs["page"]] * 3
+    out = pipe.process_pages(pages)
+    assert len(out) == 3
+    for r in out:
+        assert "columns" in r and "text" in r
+        for col in r["columns"]:
+            assert "text" in col
+    # batched and single-page paths agree on structure and texts
+    single = pipe.process_page(pages[0])
+    assert [c["text"] for c in out[0]["columns"]] == [
+        c["text"] for c in single["columns"]
+    ]
