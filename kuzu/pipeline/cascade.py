@@ -231,6 +231,8 @@ class KuzushijiPipeline:
         amortizes dispatch and keeps the MXU fed."""
         import cv2
 
+        if not image_paths:
+            return []
         if self.tile_grid > 1:
             return [self.process_page(p) for p in image_paths]
         assert self.column_det is not None, "no column model configured"
