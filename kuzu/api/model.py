@@ -42,16 +42,31 @@ class Model:
         self.overrides: dict[str, Any] = dict(kwargs)
         self._trainer = None
         self._predictor = None
+        self._predictor_key: tuple | None = None
 
-    @staticmethod
-    def _guess_task(spec: str) -> str:
+    # ordered (task, markers): first marker hit wins; explicit list beats
+    # the old or/and chain whose precedence was easy to mis-extend
+    _TASK_MARKERS: tuple[tuple[str, tuple[str, ...]], ...] = (
+        ("recognize", ("trocr", "ocr", "unet", "csa")),
+        ("classify", ("simplevit", "simple_vit", "classify", "cvae", "stackgan")),
+        ("lm", ("mlm", "roberta", "lm")),
+        ("ctc", ("crnn", "ctc")),
+    )
+
+    @classmethod
+    def _guess_task(cls, spec: str) -> str:
+        # a run dir records its task in args.yaml — trust it over heuristics
+        args = Path(spec) / "args.yaml"
+        if args.exists():
+            import yaml
+
+            recorded = (yaml.safe_load(args.read_text()) or {}).get("task")
+            if recorded:
+                return str(recorded)
         s = spec.lower()
-        if "trocr" in s or "ocr" in s or "vit" in s and "simple" not in s:
-            return "recognize" if ("trocr" in s or "ocr" in s) else "classify"
-        if "simplevit" in s or "classify" in s:
-            return "classify"
-        if "lm" in s or "mlm" in s or "roberta" in s:
-            return "lm"
+        for task, markers in cls._TASK_MARKERS:
+            if any(m in s for m in markers):
+                return task
         return "detect"
 
     def _component(self, kind: str) -> Callable:
@@ -78,8 +93,10 @@ class Model:
 
     def predict(self, source: Any, **kwargs: Any):
         predictor_cls = self._component("predictor")
-        if self._predictor is None:
+        key = tuple(sorted((k, repr(v)) for k, v in kwargs.items()))
+        if self._predictor is None or key != self._predictor_key:
             self._predictor = predictor_cls(self._cfg("predict", **kwargs))
+            self._predictor_key = key
         return self._predictor(source)
 
     def __call__(self, source: Any, **kwargs: Any):

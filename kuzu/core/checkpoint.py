@@ -60,13 +60,15 @@ class CheckpointManager:
         meta = dict(metadata or {})
         if fitness is not None:
             meta["fitness"] = float(fitness)
-            if fitness >= self.best_fitness:
-                self.best_fitness = float(fitness)
-                best = self._step_dir("best")
-                if best.exists():
-                    shutil.rmtree(best)
-                shutil.copytree(target, best)
+        # write metadata into target BEFORE any best-copy so the best
+        # checkpoint directory carries its epoch/fitness too
         (target / "kuzu_meta.json").write_text(json.dumps(meta))
+        if fitness is not None and fitness >= self.best_fitness:
+            self.best_fitness = float(fitness)
+            best = self._step_dir("best")
+            if best.exists():
+                shutil.rmtree(best)
+            shutil.copytree(target, best)
         self._meta_path.write_text(
             json.dumps({"best_fitness": self.best_fitness})
         )

@@ -120,7 +120,12 @@ class KuzushijiPipeline:
             mh = (y2 - y1) * self.margin
             xa, ya = max(int(x1 - mw), 0), max(int(y1 - mh), 0)
             xb, yb = min(int(x2 + mw), w), min(int(y2 + mh), h)
-            crops.append(image[ya:yb, xa:xb])
+            if xb <= xa or yb <= ya:
+                # detection clipped to a sliver at the image edge: emit a
+                # blank crop so downstream indices stay aligned
+                crops.append(np.full((8, 8, 3), 255, np.uint8))
+            else:
+                crops.append(image[ya:yb, xa:xb])
         return crops
 
     def recognize_crops(self, crops: list[np.ndarray]) -> list[str]:

@@ -79,6 +79,15 @@ def rewrite_boxes_for_tile(
     return out, keep
 
 
+def _nms_bucket(n: int) -> int:
+    """Static candidate-count bucket: one compiled NMS per bucket, not per
+    page (every distinct shape is a fresh XLA program over the tunnel)."""
+    for b in (256, 1024, 4096, 16384):
+        if n <= b:
+            return b
+    return int(2 ** int(np.ceil(np.log2(n))))
+
+
 def merge_tile_detections(
     per_tile: list[dict],  # each: {boxes (K,4), scores (K,), classes (K,), valid (K,)}
     metas: list[dict],
@@ -116,15 +125,24 @@ def merge_tile_detections(
     scores = np.concatenate(all_scores).astype(np.float32)
     classes = np.concatenate(all_classes).astype(np.int32)
     n = len(boxes)
+    # pad candidates to a static bucket size so the jitted NMS sees a few
+    # stable shapes instead of recompiling for every page's candidate count
+    m = _nms_bucket(n)
+    pad = m - n
+    boxes = np.pad(boxes, ((0, pad), (0, 0)))
+    scores = np.pad(scores, (0, pad))
+    classes = np.pad(classes, (0, pad))
+    valid = np.zeros((m,), bool)
+    valid[:n] = True
     ob, os_, oc, ov = nms_padded(
         jnp.asarray(boxes),
         jnp.asarray(scores),
         jnp.asarray(classes),
-        jnp.ones((n,), bool),
+        jnp.asarray(valid),
         iou_threshold=iou_thres,
         score_threshold=0.0,
-        max_det=min(max_det, n),
-        max_nms=n,
+        max_det=min(max_det, m),
+        max_nms=m,
     )
     ov = np.asarray(ov)
     return {

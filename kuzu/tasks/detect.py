@@ -255,14 +255,18 @@ class DetectPredictor:
         iou_t = float(self.cfg.get("iou", 0.7))
         max_det = int(self.cfg.get("max_det", 300))
 
-        def _fwd(images):
-            feats = self.detector.apply(self.variables, images, train=False)
+        # weights are a jit ARGUMENT, never a closure: closed-over arrays
+        # bake into the HLO as constants and can exceed the tunneled
+        # remote-compile size limit (see CLAUDE.md).
+        def _fwd(variables, images):
+            feats = self.detector.apply(variables, images, train=False)
             pred = self.detector.decode(feats, imgsz=self.imgsz)
             return non_max_suppression(
                 pred, conf_thres=conf, iou_thres=iou_t, max_det=max_det
             )
 
-        self._fwd = jax.jit(_fwd)
+        self._fwd_jit = jax.jit(_fwd)
+        self._fwd = lambda images: self._fwd_jit(self.variables, images)
         self.ready = True
 
     def __call__(self, source) -> list[dict]:
