@@ -63,7 +63,7 @@ class Config(dict):
     def to_dict(self) -> dict:
         def conv(v: Any) -> Any:
             if isinstance(v, Config):
-                return {k: conv(x) for k, x in v.items()}
+                return {k: conv(x) for k, x in v.items() if not str(k).startswith("_")}
             if isinstance(v, (list, tuple)):
                 return [conv(x) for x in v]
             return v
@@ -136,4 +136,10 @@ def load_config(
         if strict:
             check_keys(overrides, cfg)
         cfg.merge(overrides)
+        # remember which keys the caller set explicitly (vs defaults/yaml):
+        # validators/predictors use this to rebase onto a run's args.yaml
+        # while keeping the user's actual overrides on top
+        cfg["_explicit"] = sorted(
+            set(overrides) | set(cfg.get("_explicit", []))
+        )
     return cfg

@@ -316,3 +316,27 @@ def beam_generate(
     norm = scores / jnp.maximum(lengths, 1.0) ** length_penalty
     best = norm.argmax(-1)
     return jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0]
+
+
+def generate(
+    model: TrOCR,
+    params: Any,
+    images: jnp.ndarray,
+    max_len: int = 128,
+    bos_id: int = 2,
+    eos_id: int = 3,
+    decode: str = "greedy",
+    num_beams: int = 4,
+    length_penalty: float = 1.0,
+) -> jnp.ndarray:
+    """Decode-strategy dispatcher: ``decode='beam'`` runs beam search
+    (reference validates/generates with ``num_beams=4``,
+    ``src/models/trocr_model.py:303-316``), anything else greedy."""
+    if decode == "beam" and num_beams > 1:
+        return beam_generate(
+            model, params, images, max_len=max_len, bos_id=bos_id,
+            eos_id=eos_id, num_beams=num_beams, length_penalty=length_penalty,
+        )
+    return greedy_generate(
+        model, params, images, max_len=max_len, bos_id=bos_id, eos_id=eos_id
+    )

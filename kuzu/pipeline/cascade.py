@@ -41,12 +41,16 @@ class KuzushijiPipeline:
         tile_overlap: float = 0.15,
         conf: float = 0.25,
         margin: float = 0.05,  # column crop margin (reference padding ratio)
+        decode: str = "greedy",  # 'beam' = reference num_beams=4 semantics
+        num_beams: int = 4,
     ):
         from kuzu.core.config import load_config
 
         self.tile_grid = tile_grid
         self.tile_overlap = tile_overlap
         self.margin = margin
+        self.decode = decode
+        self.num_beams = num_beams
         self.column_det = None
         self.char_det = None
         self.recognizer = None
@@ -110,16 +114,25 @@ class KuzushijiPipeline:
         ]
         return merge_tile_detections(per_tile, metas, page_shape=img.shape[:2])
 
-    def crop_columns(
-        self, image: np.ndarray, boxes: np.ndarray
-    ) -> list[np.ndarray]:
-        h, w = image.shape[:2]
-        crops = []
+    def _column_bounds(
+        self, shape: tuple[int, ...], boxes: np.ndarray
+    ) -> list[tuple[int, int, int, int]]:
+        """Margin-expanded integer crop bounds per column box."""
+        h, w = shape[:2]
+        out = []
         for x1, y1, x2, y2 in boxes:
             mw = (x2 - x1) * self.margin
             mh = (y2 - y1) * self.margin
             xa, ya = max(int(x1 - mw), 0), max(int(y1 - mh), 0)
             xb, yb = min(int(x2 + mw), w), min(int(y2 + mh), h)
+            out.append((xa, ya, xb, yb))
+        return out
+
+    def crop_columns(
+        self, image: np.ndarray, boxes: np.ndarray
+    ) -> list[np.ndarray]:
+        crops = []
+        for xa, ya, xb, yb in self._column_bounds(image.shape, boxes):
             if xb <= xa or yb <= ya:
                 # detection clipped to a sliver at the image edge: emit a
                 # blank crop so downstream indices stay aligned
@@ -128,13 +141,67 @@ class KuzushijiPipeline:
                 crops.append(image[ya:yb, xa:xb])
         return crops
 
+    def detect_chars_in_columns(
+        self, image: np.ndarray, boxes: np.ndarray
+    ) -> list[dict[str, np.ndarray]]:
+        """Per-column character detection, reference-shaped: crop each
+        detected column, run the char detector INSIDE the column, map boxes
+        back to the page frame, and order them top-to-bottom (vertical
+        reading order). Matches ``scripts/inference.py:94-118``; unlike the
+        reference's sequential crop loop, all columns of the call batch
+        through one jitted forward (count padded to a static bucket).
+        """
+        assert self.char_det is not None, "no char model configured"
+        if not self.char_det.ready:
+            self.char_det._setup()
+        if len(boxes) == 0:
+            return []
+        import jax.numpy as jnp
+
+        size = self.char_det.imgsz
+        bounds = self._column_bounds(image.shape, boxes)
+        crops = self.crop_columns(image, boxes)
+        tiles, metas = [], []
+        from kuzu.data.yolo_dataset import letterbox_np
+
+        for (xa, ya, _, _), crop in zip(bounds, crops):
+            canvas, gain, (px, py) = letterbox_np(crop, size)
+            tiles.append(canvas.astype(np.float32) / 255.0)
+            metas.append((xa, ya, gain, px, py))
+        # pad the column count to a static bucket so repeat pages reuse the
+        # compiled program (a fresh batch dim = a fresh XLA program)
+        n = len(tiles)
+        npad = 8
+        while npad < n:
+            npad *= 2
+        tiles.extend([np.zeros_like(tiles[0])] * (npad - n))
+        out = self.char_det._fwd(jnp.asarray(np.stack(tiles)))
+        out = {k: np.asarray(v) for k, v in out.items()}
+        per_col = []
+        for i, ((xa, ya, gain, px, py), (_, _, xb, yb)) in enumerate(
+            zip(metas, bounds)
+        ):
+            v = out["valid"][i]
+            b = (out["boxes"][i][v] - [px, py, px, py]) / gain
+            b += [xa, ya, xa, ya]
+            # clip into the column's crop region (stays within the page)
+            b[:, [0, 2]] = b[:, [0, 2]].clip(xa, max(xb, xa))
+            b[:, [1, 3]] = b[:, [1, 3]].clip(ya, max(yb, ya))
+            s = out["scores"][i][v]
+            c = out["classes"][i][v]
+            order = np.argsort(b[:, 1] + b[:, 3])  # top -> bottom
+            per_col.append(
+                {"boxes": b[order], "scores": s[order], "classes": c[order]}
+            )
+        return per_col
+
     def recognize_crops(self, crops: list[np.ndarray]) -> list[str]:
         assert self.recognizer is not None, "no recognizer configured"
         if not self.recognizer.ready:
             self.recognizer._setup()
         import jax.numpy as jnp
 
-        from kuzu.models.trocr import greedy_generate
+        from kuzu.models.trocr import generate
 
         if not crops:
             return []
@@ -143,13 +210,15 @@ class KuzushijiPipeline:
         for c in crops:
             batch.append(self._letterbox_crop(c, size))
         images = jnp.asarray(np.stack(batch))
-        out = greedy_generate(
+        out = generate(
             self.recognizer.model,
             self.recognizer.params,
             images,
             max_len=self.recognizer.model.max_len,
             bos_id=self.recognizer.tokenizer.bos_id,
             eos_id=self.recognizer.tokenizer.eos_id,
+            decode=self.decode,
+            num_beams=self.num_beams,
         )
         return self.recognizer.tokenizer.batch_decode(np.asarray(out))
 
@@ -168,35 +237,67 @@ class KuzushijiPipeline:
         return (arr - 0.5) / 0.5
 
     def rescore_texts(self, texts: list[str]) -> list[float]:
-        """Masked pseudo-log-likelihood per text via the char-LM."""
+        """Masked pseudo-log-likelihood per text via the char-LM.
+
+        ALL texts score in ONE jitted program: a ``lax.scan`` over positions
+        masks position p for every text simultaneously and accumulates the
+        per-text log-prob — no per-text Python dispatch (the reference loops
+        texts through its MLM one at a time, P23/P25). Text count pads to a
+        static bucket so repeat calls reuse the compiled program.
+        """
         assert self.lm is not None, "no LM configured"
         if not self.lm.ready:
             self.lm._setup()
+        import jax
         import jax.numpy as jnp
-        import optax
 
         tok = self.lm.tokenizer
-        scores = []
-        for t in texts:
-            ids = tok.encode(t, max_length=self.lm.max_len)
-            n = int((ids != tok.pad_id).sum())
-            if n <= 2:
-                scores.append(0.0)
-                continue
-            # mask each char position once (batched)
-            pos = np.arange(1, n - 1)
-            batch = np.tile(ids, (len(pos), 1))
-            batch[np.arange(len(pos)), pos] = tok.mask_id
-            logits = self.lm.model.apply(
-                {"params": self.lm.params},
-                jnp.asarray(batch),
-                jnp.asarray((batch != tok.pad_id).astype(np.float32)),
-            )
-            lp = -optax.softmax_cross_entropy_with_integer_labels(
-                logits[np.arange(len(pos)), pos], jnp.asarray(ids[pos])
-            )
-            scores.append(float(np.asarray(lp).mean()))
-        return scores
+        if not texts:
+            return []
+        max_len = self.lm.max_len
+        ids = np.stack([tok.encode(t, max_length=max_len) for t in texts])
+        lens = (ids != tok.pad_id).sum(1).astype(np.int32)
+
+        fn = getattr(self, "_rescore_fn", None)
+        if fn is None:
+            import optax
+
+            model, mask_id, pad_id = self.lm.model, tok.mask_id, tok.pad_id
+
+            def _pll(params, ids, lens):
+                attn = (ids != pad_id).astype(jnp.float32)
+
+                def body(acc, p):
+                    masked = ids.at[:, p].set(
+                        jnp.where(ids[:, p] != pad_id, mask_id, ids[:, p])
+                    )
+                    logits = model.apply({"params": params}, masked, attn)
+                    lp = -optax.softmax_cross_entropy_with_integer_labels(
+                        logits[:, p], ids[:, p]
+                    )
+                    valid = ((p >= 1) & (p < lens - 1)).astype(jnp.float32)
+                    return acc + lp * valid, None
+
+                total, _ = jax.lax.scan(
+                    body, jnp.zeros(ids.shape[0], jnp.float32),
+                    jnp.arange(ids.shape[1]),
+                )
+                denom = jnp.maximum(lens - 2, 1).astype(jnp.float32)
+                return total / denom
+
+            fn = self._rescore_fn = jax.jit(_pll)
+
+        # pad text count to a static bucket (8/16/32/...) for shape reuse
+        t = len(texts)
+        tp = 8
+        while tp < t:
+            tp *= 2
+        ids_p = np.zeros((tp, max_len), ids.dtype)
+        ids_p[:t] = ids
+        lens_p = np.zeros((tp,), np.int32)
+        lens_p[:t] = lens
+        scores = np.asarray(fn(self.lm.params, jnp.asarray(ids_p), jnp.asarray(lens_p)))
+        return [float(scores[i]) if lens[i] > 2 else 0.0 for i in range(t)]
 
     # --------------------------------------------------------------- e2e
     def process_page(self, image_path: str | Path) -> dict[str, Any]:
@@ -222,11 +323,27 @@ class KuzushijiPipeline:
                 for c, s in zip(result["columns"], lm_scores):
                     c["lm_score"] = s
         if self.char_det is not None:
-            chars = self.detect_chars(image_path)
-            result["characters"] = {
-                "boxes": chars["boxes"].tolist(),
-                "scores": chars["scores"].tolist(),
-            }
+            if len(boxes):
+                # reference shape: char detection inside each column crop,
+                # coords mapped back to the page (inference.py:94-118)
+                per_col = self.detect_chars_in_columns(image, boxes)
+                for col, ch in zip(result["columns"], per_col):
+                    col["chars"] = {
+                        "boxes": ch["boxes"].tolist(),
+                        "scores": ch["scores"].tolist(),
+                    }
+                all_b = [c["boxes"] for c in per_col if len(c["boxes"])]
+                all_s = [c["scores"] for c in per_col if len(c["scores"])]
+                result["characters"] = {
+                    "boxes": np.concatenate(all_b).tolist() if all_b else [],
+                    "scores": np.concatenate(all_s).tolist() if all_s else [],
+                }
+            else:
+                chars = self.detect_chars(image_path)
+                result["characters"] = {
+                    "boxes": chars["boxes"].tolist(),
+                    "scores": chars["scores"].tolist(),
+                }
         return result
 
     def process_pages(self, image_paths: list[str | Path]) -> list[dict]:
@@ -263,6 +380,13 @@ class KuzushijiPipeline:
                 all_crops.extend(crops)
             else:
                 crop_spans.append((0, 0))
+            if self.char_det is not None and len(boxes):
+                per_col = self.detect_chars_in_columns(image, boxes)
+                for col, ch in zip(result["columns"], per_col):
+                    col["chars"] = {
+                        "boxes": ch["boxes"].tolist(),
+                        "scores": ch["scores"].tolist(),
+                    }
             results.append(result)
         if self.recognizer is not None and all_crops:
             texts = self.recognize_crops(all_crops)  # one batched generate

@@ -36,6 +36,26 @@ from kuzu.core.mesh import make_mesh, process_is_primary, shard_batch
 from kuzu.core.train import TrainState, build_optimizer, init_state, make_train_step
 
 
+def resolve_val_batches(cfg: Config, loader: Any, key: str = "val_batches") -> int:
+    """Honest validation coverage: full split unless the user caps it.
+
+    The reference validates the entire split (``engine/validator.py:69``); a
+    silent default cap can select the wrong "best" checkpoint. ``None``/-1 =
+    all batches; an explicit cap below the split size is logged visibly.
+    """
+    try:
+        total = len(loader)
+    except TypeError:
+        total = None
+    cap = cfg.get(key)
+    if cap in (None, "", -1, "None"):
+        return total if total is not None else 10**9
+    cap = int(cap)
+    if total is not None and cap < total:
+        LOGGER.info(f"validate: capped at {cap}/{total} batches ({key}={cap})")
+    return cap
+
+
 class BaseTrainer:
     def __init__(self, cfg: Config):
         self.cfg = cfg

@@ -132,9 +132,12 @@ class CTCTrainer(BaseTrainer):
                 return ctc_greedy_decode(logits, blank=0)
             fwd = self._val_fwd = jax.jit(_fwd)
 
+        from kuzu.tasks.base import resolve_val_batches
+
+        max_batches = resolve_val_batches(self.cfg, self.val_loader)
         preds, refs = [], []
         for bi, batch in enumerate(self.val_loader):
-            if bi >= int(self.cfg.get("val_batches", 20)):
+            if bi >= max_batches:
                 break
             n_real = int(
                 batch.get("sample_mask", np.ones(len(batch["image"]))).sum()

@@ -134,14 +134,19 @@ class DetectTrainer(BaseTrainer):
             def _fwd(variables, images):
                 feats = self.detector.apply(variables, images, train=False)
                 pred = self.detector.decode(feats, imgsz=self.imgsz)
+                # multi_label: score every class above threshold per anchor,
+                # matching reference val semantics (utils/ops.py:230-260)
                 return non_max_suppression(
-                    pred, conf_thres=conf, iou_thres=iou_t, max_det=max_det
+                    pred, conf_thres=conf, iou_thres=iou_t, max_det=max_det,
+                    multi_label=True,
                 )
 
             fwd = self._val_fwd = jax.jit(_fwd)
 
         dm = DetMetrics()
-        max_batches = int(self.cfg.get("val_batches", 50))
+        from kuzu.tasks.base import resolve_val_batches
+
+        max_batches = resolve_val_batches(self.cfg, self.val_loader)
         for bi, batch in enumerate(self.val_loader):
             if bi >= max_batches:
                 break
@@ -196,7 +201,27 @@ class DetectValidator:
         self.cfg = cfg
 
     def run(self) -> dict:
-        trainer = DetectTrainer(self.cfg)
+        cfg = self.cfg
+        ckpt = cfg.get("model")
+        run_dir = Path(str(ckpt)) if ckpt else None
+        if run_dir and (run_dir / "args.yaml").exists():
+            # a trained run dir: rebase on its training config (arch, imgsz,
+            # hyp) and re-apply only the keys the user explicitly overrode
+            from kuzu.core.config import load_config
+
+            base = load_config(run_dir / "args.yaml")
+            explicit = {
+                k: cfg[k]
+                for k in cfg.get("_explicit", [])
+                if k in cfg and k != "model"
+            }
+            base.merge({**explicit, "mode": "val", "save": False})
+            # keep the trainer's scratch dir away from the original run
+            base.merge(
+                {"name": f"{base.get('name') or 'run'}-val", "exist_ok": True}
+            )
+            cfg = base
+        trainer = DetectTrainer(cfg)
         trainer.train_loader, trainer.val_loader = trainer.build_datasets()
         params = trainer.build_model()
         from kuzu.core.checkpoint import CheckpointManager

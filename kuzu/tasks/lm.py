@@ -140,8 +140,11 @@ class LMTrainer(BaseTrainer):
         rng = jax.random.key(12345)  # fixed eval masking for comparability
         total, correct, loss_sum = 0, 0, 0.0
         shown = 0
+        from kuzu.tasks.base import resolve_val_batches
+
+        max_batches = resolve_val_batches(self.cfg, self.val_loader)
         for bi, batch in enumerate(self.val_loader):
-            if bi >= int(self.cfg.get("val_batches", 20)):
+            if bi >= max_batches:
                 break
             rng, r = jax.random.split(rng)
             masked, labels = self._mlm(jnp.asarray(batch["tokens"]), r)

@@ -27,7 +27,7 @@ from kuzu.data.ocr_datasets import (
     build_tokenizer_from_datasets,
 )
 from kuzu.data.tokenizer import CharTokenizer
-from kuzu.models.trocr import TrOCR, greedy_generate
+from kuzu.models.trocr import TrOCR, generate
 from kuzu.tasks.base import BaseTrainer
 
 
@@ -135,19 +135,24 @@ class RecognizeTrainer(BaseTrainer):
         max_gen = int(self.cfg.get("max_label_length", 128))
         preds: list[str] = []
         refs: list[str] = []
-        max_batches = int(self.cfg.get("val_gen_batches", 8))
+        from kuzu.tasks.base import resolve_val_batches
+
+        max_batches = resolve_val_batches(self.cfg, self.val_loader, "val_gen_batches")
         for bi, batch in enumerate(self.val_loader):
             if bi >= max_batches:
                 break
             n_real = int(batch.get("sample_mask", np.ones(len(batch["image"]))).sum())
             images = jnp.asarray(batch["image"])
-            out = greedy_generate(
+            out = generate(
                 self.model,
                 params,
                 images,
                 max_len=max_gen,
                 bos_id=tok.bos_id,
                 eos_id=tok.eos_id,
+                decode=str(self.cfg.get("decode", "greedy")),
+                num_beams=int(self.cfg.get("num_beams", 4)),
+                length_penalty=float(self.cfg.get("length_penalty", 1.0)),
             )
             preds.extend(tok.batch_decode(np.asarray(out)[:n_real]))
             refs.extend(tok.batch_decode(np.asarray(batch["tokens"])[:n_real, 1:]))
@@ -212,13 +217,16 @@ class RecognizePredictor:
 
         paths = [source] if isinstance(source, (str, Path)) else list(source)
         images = np.stack([load_letterboxed(p, *self.image_size) for p in paths])
-        out = greedy_generate(
+        out = generate(
             self.model,
             self.params,
             jnp.asarray(images),
             max_len=self.model.max_len,
             bos_id=self.tokenizer.bos_id,
             eos_id=self.tokenizer.eos_id,
+            decode=str(self.cfg.get("decode", "greedy")),
+            num_beams=int(self.cfg.get("num_beams", 4)),
+            length_penalty=float(self.cfg.get("length_penalty", 1.0)),
         )
         return self.tokenizer.batch_decode(np.asarray(out))
 

@@ -185,3 +185,84 @@ def test_cascade_batched_pages(pipeline_runs, tmp_path):
     assert [c["text"] for c in out[0]["columns"]] == [
         c["text"] for c in single["columns"]
     ]
+
+
+def test_per_column_char_detection(pipeline_runs):
+    """Reference-shaped cascade: char detection INSIDE each column crop with
+    coords mapped back to the page frame (scripts/inference.py:94-118)."""
+    from kuzu.pipeline.cascade import KuzushijiPipeline
+
+    pipe = KuzushijiPipeline(
+        column_model=pipeline_runs["det"],
+        char_model=pipeline_runs["det"],  # stand-in detector for structure
+        conf=0.001,
+    )
+    result = pipe.process_page(pipeline_runs["page"])
+    assert "characters" in result
+    assert result["columns"], "no columns detected"
+    for col in result["columns"]:
+        assert "chars" in col
+        boxes = np.asarray(col["chars"]["boxes"], np.float32).reshape(-1, 4)
+        # mapped back into the page frame
+        assert (boxes >= -1).all() and (boxes[:, [0, 2]] <= 193).all()
+        assert (boxes[:, [1, 3]] <= 193).all()
+        # reading order: top -> bottom within the column
+        centers = (boxes[:, 1] + boxes[:, 3]) / 2
+        assert (np.diff(centers) >= -1e-3).all()
+
+
+def test_batched_rescoring_matches_naive(pipeline_runs):
+    """The one-jit batched PLL must equal the per-text masked loop."""
+    import jax.numpy as jnp
+    import optax
+
+    from kuzu.pipeline.cascade import KuzushijiPipeline
+
+    pipe = KuzushijiPipeline(lm=pipeline_runs["lm"])
+    texts = ["abc", "bca", "ab"]
+    got = pipe.rescore_texts(texts)
+    assert len(got) == len(texts)
+
+    tok = pipe.lm.tokenizer
+    for t, g in zip(texts, got):
+        ids = tok.encode(t, max_length=pipe.lm.max_len)
+        n = int((ids != tok.pad_id).sum())
+        if n <= 2:
+            assert g == 0.0
+            continue
+        pos = np.arange(1, n - 1)
+        batch = np.tile(ids, (len(pos), 1))
+        batch[np.arange(len(pos)), pos] = tok.mask_id
+        logits = pipe.lm.model.apply(
+            {"params": pipe.lm.params},
+            jnp.asarray(batch),
+            jnp.asarray((batch != tok.pad_id).astype(np.float32)),
+        )
+        lp = -optax.softmax_cross_entropy_with_integer_labels(
+            logits[np.arange(len(pos)), pos], jnp.asarray(ids[pos])
+        )
+        expect = float(np.asarray(lp).mean())
+        assert abs(g - expect) < 1e-3, (t, g, expect)
+
+
+def test_cascade_beam_decode(pipeline_runs):
+    """decode='beam' flows through the cascade's recognize path."""
+    from kuzu.pipeline.cascade import KuzushijiPipeline
+
+    greedy = KuzushijiPipeline(
+        column_model=pipeline_runs["det"],
+        recognizer=pipeline_runs["rec"],
+        conf=0.001,
+    )
+    beam = KuzushijiPipeline(
+        column_model=pipeline_runs["det"],
+        recognizer=pipeline_runs["rec"],
+        conf=0.001,
+        decode="beam",
+        num_beams=2,
+    )
+    rg = greedy.process_page(pipeline_runs["page"])
+    rb = beam.process_page(pipeline_runs["page"])
+    assert len(rb["columns"]) == len(rg["columns"])
+    for col in rb["columns"]:
+        assert isinstance(col.get("text", ""), str)

@@ -127,3 +127,20 @@ def test_recognize_trainer_csv_data(column_info_csv, tmp_path):
     cfg = _cfg(column_info_csv, tmp_path, epochs=1, name="csv")
     result = RecognizeTrainer(cfg).train()
     assert "fitness" in result
+
+
+def test_beam_validation_beats_or_ties_greedy(oneline_root, tmp_path):
+    """Beam-4 validation wired end to end (reference num_beams=4,
+    src/models/trocr_model.py:303-316): beam CER <= greedy CER once the toy
+    model has converged."""
+    from kuzu.tasks.recognize import RecognizeTrainer
+
+    cfg = _cfg(oneline_root, tmp_path, epochs=20, name="beam", patience=50)
+    trainer = RecognizeTrainer(cfg)
+    trainer.train()
+    state = trainer.state
+    greedy = trainer.validate(state)["cer"]
+    trainer.cfg["decode"] = "beam"
+    trainer.cfg["num_beams"] = 4
+    beam = trainer.validate(state)["cer"]
+    assert beam <= greedy + 1e-6, (beam, greedy)
