@@ -12,7 +12,7 @@ import sys
 from kuzu.api.model import Model
 from kuzu.core.config import load_config
 
-MODES = ("train", "val", "predict", "export", "benchmark")
+MODES = ("train", "val", "predict", "track", "tune", "export", "benchmark")
 TASKS = ("detect", "recognize", "classify", "lm", "ctc")
 
 HELP = f"""kuzu CLI
@@ -23,6 +23,8 @@ examples:
   python -m kuzu.api.cli train classify data=glyphs/ epochs=10 imgsz=128
   python -m kuzu.api.cli train detect model=yolov12n data=dataset.yaml
   python -m kuzu.api.cli predict detect model=runs/detect/x/weights source=page.jpg
+  python -m kuzu.api.cli track detect model=runs/detect/x source=frames/ tracker=botsort
+  python -m kuzu.api.cli tune detect data=dataset.yaml iterations=10 epochs=3
 """
 
 
@@ -64,6 +66,11 @@ def main(argv: list[str] | None = None) -> int:
     elif mode == "predict":
         source = overrides.pop("source", None)
         result = model.predict(source, **overrides)
+    elif mode == "track":
+        source = overrides.pop("source", None)
+        result = model.track(source, **overrides)
+    elif mode == "tune":
+        result = model.tune(**overrides)
     elif mode == "export":
         result = model.export(**overrides)
     else:
@@ -75,6 +82,13 @@ def main(argv: list[str] | None = None) -> int:
                 for k, v in result.items()
             )
         )
+    elif isinstance(result, list):
+        for i, r in enumerate(result):
+            boxes = getattr(r, "boxes", None)
+            n = len(boxes) if boxes is not None else 0
+            ids = getattr(boxes, "id", None) if boxes is not None else None
+            tag = f" ids={ids.tolist()}" if ids is not None and len(ids) else ""
+            print(f"[{i}] {getattr(r, 'path', '')}: {n} boxes{tag}")
     return 0
 
 

@@ -102,6 +102,74 @@ class Model:
     def __call__(self, source: Any, **kwargs: Any):
         return self.predict(source, **kwargs)
 
+    def track(self, source: Any, tracker: str = "bytetrack",
+              persist: bool = False, **kwargs: Any):
+        """Predict frames in order and associate detections across them —
+        the reference ``Model.track`` (``engine/model.py:562``). Returns the
+        per-frame Results with tracked boxes carrying ``.boxes.id``.
+
+        ``tracker``: 'bytetrack' or 'botsort' (camera-motion compensated).
+        ``persist=True`` keeps tracker state across calls (streaming).
+        """
+        import numpy as np
+
+        from kuzu.api.results import Boxes
+        from kuzu.pipeline.tracker import BoTSORT, ByteTracker
+
+        tk_kwargs = {
+            k: kwargs.pop(k)
+            for k in (
+                "track_high_thresh", "track_low_thresh", "match_thresh",
+                "new_track_thresh", "track_buffer",
+            )
+            if k in kwargs
+        }
+        results = self.predict(source, **kwargs)
+        if not persist or getattr(self, "_tracker_obj", None) is None:
+            cls = BoTSORT if str(tracker).startswith("botsort") else ByteTracker
+            self._tracker_obj = cls(**tk_kwargs)
+        tk = self._tracker_obj
+        for r in results:
+            extra = {}
+            if isinstance(tk, BoTSORT) and r.path:
+                import cv2
+
+                frame = cv2.imread(str(r.path))
+                if frame is not None:
+                    extra["frame"] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            tracks = tk.update(r.boxes.xyxy, r.boxes.conf, r.boxes.cls, **extra)
+            if tracks:
+                r.boxes = Boxes(
+                    np.stack([t.box for t in tracks]),
+                    np.array([t.score for t in tracks]),
+                    np.array([t.cls for t in tracks]),
+                    r.boxes.orig_shape,
+                    ids=np.array([t.track_id for t in tracks]),
+                )
+            else:
+                r.boxes = Boxes(
+                    np.zeros((0, 4)), np.zeros((0,)), np.zeros((0,)),
+                    r.boxes.orig_shape, ids=np.zeros((0,)),
+                )
+        return results
+
+    def tune(self, iterations: int = 10, **kwargs: Any) -> dict:
+        """Evolutionary hyperparameter search — the reference ``Model.tune``
+        (``engine/model.py:817``): mutate the best-so-far hyps, run a short
+        training per iteration, track fitness in tune_results.csv."""
+        from kuzu.tools.tuner import Tuner
+
+        tune_dir = kwargs.pop("tune_dir", "runs/tune")
+        seed = int(kwargs.get("seed", 0))
+
+        def train_fn(hyps: dict) -> float:
+            res = self.train(**{**kwargs, **hyps})
+            return float(res.get("fitness", 0.0))
+
+        tuner = Tuner(train_fn, save_dir=tune_dir, seed=seed)
+        fitness, hyps = tuner.run(iterations=int(iterations))
+        return {"best_fitness": fitness, **hyps}
+
     def export(self, **kwargs: Any):
         exporter = self._component("exporter")
         return exporter(self._cfg("export", **kwargs)).run()

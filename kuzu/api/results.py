@@ -17,11 +17,13 @@ import numpy as np
 
 class Boxes:
     def __init__(self, boxes: np.ndarray, scores: np.ndarray, classes: np.ndarray,
-                 orig_shape: tuple[int, int]):
+                 orig_shape: tuple[int, int], ids: np.ndarray | None = None):
         self.data = np.asarray(boxes, np.float32).reshape(-1, 4)
         self.conf = np.asarray(scores, np.float32).reshape(-1)
         self.cls = np.asarray(classes).reshape(-1).astype(int)
         self.orig_shape = orig_shape  # (h, w)
+        # track ids from Model.track (reference Boxes.id); None on predict
+        self.id = None if ids is None else np.asarray(ids).reshape(-1).astype(int)
 
     def __len__(self) -> int:
         return len(self.data)
@@ -48,7 +50,10 @@ class Boxes:
         return self.xywh / [w, h, w, h]
 
     def __getitem__(self, idx) -> "Boxes":
-        return Boxes(self.data[idx], self.conf[idx], self.cls[idx], self.orig_shape)
+        return Boxes(
+            self.data[idx], self.conf[idx], self.cls[idx], self.orig_shape,
+            None if self.id is None else self.id[idx],
+        )
 
 
 class Results:

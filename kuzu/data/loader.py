@@ -44,6 +44,7 @@ class DataLoader:
         collate_fn: Any = None,
         num_workers: int = 4,
         prefetch: int = 2,
+        group_fn: Any = None,
     ):
         """``pad_last``: instead of dropping/shrinking the final partial
         batch, repeat samples up to ``batch_size`` and emit a ``sample_mask``
@@ -57,6 +58,11 @@ class DataLoader:
         self.collate = collate_fn or default_collate
         self.num_workers = max(num_workers, 0)
         self.prefetch = prefetch
+        # group_fn(idx) -> hashable key: batches draw only within a group
+        # (rect/aspect-grouped batching — reference rect mode, data/base.py).
+        # Keeps every batch shape-static per group so XLA compiles once per
+        # distinct shape bucket.
+        self.group_fn = group_fn
         self.epoch = 0
         # multi-host: every process sees the same global index order (same
         # seed) and loads only its 1/process_count slice of each batch —
@@ -73,8 +79,22 @@ class DataLoader:
         self.local_batch = batch_size // self.process_count
 
     def __len__(self) -> int:
+        if self.group_fn is not None:
+            sizes = [len(g) for g in self._groups().values()]
+            if self.drop_last:
+                return sum(n // self.batch_size for n in sizes)
+            return sum(-(-n // self.batch_size) for n in sizes)
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _groups(self) -> dict:
+        cached = getattr(self, "_group_cache", None)
+        if cached is None:
+            groups: dict = {}
+            for i in range(len(self.dataset)):
+                groups.setdefault(self.group_fn(i), []).append(i)
+            cached = self._group_cache = groups
+        return cached
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -87,20 +107,47 @@ class DataLoader:
         return np.arange(n)
 
     def _batches(self) -> Iterator[tuple[np.ndarray, int]]:
+        if self.group_fn is not None:
+            yield from self._grouped_batches()
+            return
         order = self._index_order()
         n_batches = len(self)
         for b in range(n_batches):
             idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-            n_real = len(idxs)
-            if self.pad_last and n_real < self.batch_size:
-                pad = np.resize(idxs, self.batch_size - n_real)
-                idxs = np.concatenate([idxs, pad])
-            if self.process_count > 1:
-                lo = self.process_index * self.local_batch
-                hi = lo + self.local_batch
-                n_real = int(np.clip(n_real - lo, 0, self.local_batch))
-                idxs = idxs[lo:hi]
-            yield idxs, n_real
+            yield self._shard(idxs)
+
+    def _grouped_batches(self) -> Iterator[tuple[np.ndarray, int]]:
+        """Batches drawn within shape groups; batch order shuffled across
+        groups so training still mixes buckets."""
+        rng = np.random.default_rng(self.seed + self.epoch)
+        batches: list[np.ndarray] = []
+        for key in sorted(self._groups(), key=str):
+            idxs_g = np.asarray(self._groups()[key])
+            if self.shuffle:
+                idxs_g = idxs_g[rng.permutation(len(idxs_g))]
+            n_full = (
+                len(idxs_g) // self.batch_size
+                if self.drop_last
+                else -(-len(idxs_g) // self.batch_size)
+            )
+            for b in range(n_full):
+                batches.append(idxs_g[b * self.batch_size : (b + 1) * self.batch_size])
+        if self.shuffle:
+            batches = [batches[i] for i in rng.permutation(len(batches))]
+        for idxs in batches:
+            yield self._shard(idxs)
+
+    def _shard(self, idxs: np.ndarray) -> tuple[np.ndarray, int]:
+        n_real = len(idxs)
+        if self.pad_last and n_real < self.batch_size:
+            pad = np.resize(idxs, self.batch_size - n_real)
+            idxs = np.concatenate([idxs, pad])
+        if self.process_count > 1:
+            lo = self.process_index * self.local_batch
+            hi = lo + self.local_batch
+            n_real = int(np.clip(n_real - lo, 0, self.local_batch))
+            idxs = idxs[lo:hi]
+        return idxs, n_real
 
     def _finish(self, samples: list, n_real: int) -> dict[str, np.ndarray]:
         batch = self.collate(samples)

@@ -63,15 +63,17 @@ def read_yolo_labels(path: Path) -> np.ndarray:
 
 
 def letterbox_np(
-    img: np.ndarray, size: int, fill: int = 114
+    img: np.ndarray, size: int | tuple[int, int], fill: int = 114
 ) -> tuple[np.ndarray, float, tuple[float, float]]:
-    """cv2 letterbox to (size, size); returns (canvas, gain, (pad_x, pad_y))."""
+    """cv2 letterbox to (size, size) or rectangular (h, w);
+    returns (canvas, gain, (pad_x, pad_y))."""
+    th, tw = (size, size) if isinstance(size, int) else (int(size[0]), int(size[1]))
     h, w = img.shape[:2]
-    gain = min(size / h, size / w)
+    gain = min(th / h, tw / w)
     nw, nh = max(int(round(w * gain)), 1), max(int(round(h * gain)), 1)
     resized = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
-    canvas = np.full((size, size, 3), fill, np.uint8)
-    px, py = (size - nw) // 2, (size - nh) // 2
+    canvas = np.full((th, tw, 3), fill, np.uint8)
+    px, py = (tw - nw) // 2, (th - nh) // 2
     canvas[py : py + nh, px : px + nw] = resized
     return canvas, gain, (px, py)
 
@@ -99,18 +101,37 @@ def random_affine(
     degrees: float = 0.0,
     translate: float = 0.1,
     scale: float = 0.5,
+    shear: float = 0.0,
+    perspective: float = 0.0,
     fill: int = 114,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Random scale/rotate/translate with box rewrite + degenerate filtering
-    (reference ``RandomPerspective`` without shear/perspective)."""
+    """Random perspective/rotate/scale/shear/translate with box rewrite and
+    degenerate filtering — full ``RandomPerspective`` semantics
+    (reference ``data/augment.py:952``: M = T @ S @ R @ P @ C, warpPerspective
+    when perspective != 0, box candidates filter)."""
+    import math
+
     h, w = img.shape[:2]
+    C = np.eye(3)
+    C[0, 2], C[1, 2] = -w / 2, -h / 2
+    P = np.eye(3)
+    P[2, 0] = rng.uniform(-perspective, perspective)
+    P[2, 1] = rng.uniform(-perspective, perspective)
     a = rng.uniform(-degrees, degrees)
     s = rng.uniform(1 - scale, 1 + scale)
-    cx, cy = w / 2, h / 2
-    M = cv2.getRotationMatrix2D((cx, cy), a, s)
-    M[0, 2] += rng.uniform(0.5 - translate, 0.5 + translate) * size - cx
-    M[1, 2] += rng.uniform(0.5 - translate, 0.5 + translate) * size - cy
-    out = cv2.warpAffine(img, M, (size, size), borderValue=(fill,) * 3)
+    R = np.eye(3)
+    R[:2] = cv2.getRotationMatrix2D((0.0, 0.0), a, s)
+    S = np.eye(3)
+    S[0, 1] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    S[1, 0] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    T = np.eye(3)
+    T[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * size
+    T[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * size
+    M = T @ S @ R @ P @ C
+    if perspective:
+        out = cv2.warpPerspective(img, M, (size, size), borderValue=(fill,) * 3)
+    else:
+        out = cv2.warpAffine(img, M[:2], (size, size), borderValue=(fill,) * 3)
     if len(boxes) == 0:
         return out, boxes, labels
     corners = np.concatenate(
@@ -123,20 +144,95 @@ def random_affine(
         axis=0,
     )  # (4N, 2)
     ones = np.ones((len(corners), 1))
-    warped = (np.concatenate([corners, ones], 1) @ M.T).reshape(4, -1, 2)
+    warped = np.concatenate([corners, ones], 1) @ M.T  # (4N, 3)
+    if perspective:
+        warped = warped[:, :2] / np.maximum(warped[:, 2:3], 1e-9)
+    else:
+        warped = warped[:, :2]
+    warped = warped.reshape(4, -1, 2)
     new = np.concatenate(
         [warped.min(axis=0), warped.max(axis=0)], axis=1
     ).astype(np.float32)
     new[:, [0, 2]] = new[:, [0, 2]].clip(0, size)
     new[:, [1, 3]] = new[:, [1, 3]].clip(0, size)
-    # filter degenerate boxes (w/h < 2px or area collapsed)
+    # box candidates filter (reference box_candidates: wh > 2px, aspect
+    # ratio < 100, area ratio > 0.1)
     wh = new[:, 2:] - new[:, :2]
     old_wh = (boxes[:, 2:] - boxes[:, :2]) * s
+    ar = np.maximum(
+        wh[:, 0] / np.maximum(wh[:, 1], 1e-9),
+        wh[:, 1] / np.maximum(wh[:, 0], 1e-9),
+    )
     keep = (
         (wh > 2).all(1)
         & (wh.prod(1) / np.maximum(old_wh.prod(1), 1e-6) > 0.1)
+        & (ar < 100)
     )
     return out, new[keep], labels[keep]
+
+
+def mixup(
+    img1: np.ndarray, boxes1: np.ndarray, labels1: np.ndarray,
+    img2: np.ndarray, boxes2: np.ndarray, labels2: np.ndarray,
+    rng: np.random.Generator,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Beta(32, 32) image blend with concatenated targets (reference
+    ``MixUp.__call__``, ``data/augment.py:867``)."""
+    r = rng.beta(32.0, 32.0)
+    img = (
+        img1.astype(np.float32) * r + img2.astype(np.float32) * (1.0 - r)
+    ).astype(np.uint8)
+    boxes = np.concatenate([boxes1, boxes2]).astype(np.float32)
+    labels = np.concatenate([labels1, labels2]).astype(labels1.dtype)
+    return img, boxes, labels
+
+
+def copy_paste(
+    img: np.ndarray,
+    boxes: np.ndarray,  # (N, 4) xyxy pixels
+    labels: np.ndarray,
+    rng: np.random.Generator,
+    p: float = 0.5,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flip-mode copy-paste: duplicate a fraction ``p`` of instances at the
+    horizontally-mirrored position when the mirrored box overlaps existing
+    instances by IoA < 0.30 (reference ``CopyPaste``,
+    ``data/augment.py:1634`` — segments replaced by box patches since
+    kuzushiji labels carry no polygons)."""
+    n = len(boxes)
+    if n == 0 or p <= 0:
+        return img, boxes, labels
+    h, w = img.shape[:2]
+    k = max(int(round(p * n)), 1)
+    out = img.copy()
+    new_boxes, new_labels = [], []
+    all_boxes = boxes
+    for i in rng.permutation(n)[:k]:
+        x1, y1, x2, y2 = boxes[i]
+        mx1, mx2 = w - x2, w - x1  # mirrored x-range
+        cand = np.array([mx1, y1, mx2, y2], np.float32)
+        # intersection-over-area vs every existing box
+        ix1 = np.maximum(all_boxes[:, 0], cand[0])
+        iy1 = np.maximum(all_boxes[:, 1], cand[1])
+        ix2 = np.minimum(all_boxes[:, 2], cand[2])
+        iy2 = np.minimum(all_boxes[:, 3], cand[3])
+        inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+        area = max((cand[2] - cand[0]) * (cand[3] - cand[1]), 1e-6)
+        if len(all_boxes) and (inter / area).max() >= 0.30:
+            continue
+        sy1, sy2 = int(y1), int(y2)
+        sx1, sx2 = int(x1), int(x2)
+        dx1, dx2 = int(mx1), int(mx1) + (sx2 - sx1)
+        if sy2 <= sy1 or sx2 <= sx1 or dx2 > w or dx1 < 0:
+            continue
+        out[sy1:sy2, dx1:dx2] = img[sy1:sy2, sx1:sx2][:, ::-1]
+        new_boxes.append(cand)
+        new_labels.append(labels[i])
+        all_boxes = np.concatenate([all_boxes, cand[None]])
+    if new_boxes:
+        boxes = np.concatenate([boxes, np.stack(new_boxes)]).astype(np.float32)
+        labels = np.concatenate([labels, np.asarray(new_labels, labels.dtype)])
+    return out, boxes, labels
 
 
 class YoloDetectionDataset:
@@ -151,6 +247,8 @@ class YoloDetectionDataset:
         augment: bool = True,
         hyp: dict | None = None,
         seed: int = 0,
+        rect: bool = False,
+        stride: int = 32,
     ):
         if isinstance(spec, (str, Path)):
             spec = load_dataset_yaml(spec)
@@ -168,6 +266,10 @@ class YoloDetectionDataset:
             "degrees": 0.0,
             "translate": 0.1,
             "scale": 0.5,
+            "shear": 0.0,
+            "perspective": 0.0,
+            "mixup": 0.0,
+            "copy_paste": 0.0,
             # photometric extras (project Albumentations parity, default off)
             "noise": 0.0,
             "blur": 0.0,
@@ -185,9 +287,53 @@ class YoloDetectionDataset:
             raise FileNotFoundError(f"no images under {img_dir}")
         self.nc = self.spec["nc"]
         self._epoch = 0
+        # rect mode: per-image target shapes quantized to stride multiples —
+        # tall pages letterbox into (imgsz, short) canvases instead of
+        # squares (reference BaseDataset rect, ``data/base.py``). Shapes
+        # quantize to the stride grid, so a book of same-aspect pages lands
+        # in ONE static shape bucket (one XLA program, far less padding).
+        self.rect = rect and not self.augment
+        self.stride = stride
+        self._rect_shapes: list[tuple[int, int]] | None = None
+        if self.rect:
+            self._rect_shapes = [
+                self._bucket_shape(p) for p in self.images
+            ]
+
+    def _bucket_shape(self, path: Path) -> tuple[int, int]:
+        """Target (h, w) for one image: long side = imgsz, short side
+        rounded UP to a stride multiple (boxes never crop)."""
+        from PIL import Image
+
+        with Image.open(path) as im:
+            w, h = im.size
+        s, st = self.imgsz, self.stride
+        if h >= w:
+            short = min(-(-int(s * w / h) // st) * st, s)
+            return (s, max(short, st))
+        short = min(-(-int(s * h / w) // st) * st, s)
+        return (max(short, st), s)
+
+    def batch_shape_key(self, idx: int) -> tuple[int, int]:
+        """Grouping key for the loader: images sharing a rect bucket batch
+        together (aspect-grouped batching)."""
+        if self._rect_shapes is None:
+            return (self.imgsz, self.imgsz)
+        return self._rect_shapes[idx]
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
+
+    def _mosaic_affine(
+        self, idx: int, rng: np.random.Generator
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        hyp = self.hyp
+        img, boxes, labels = self._mosaic(idx, rng)
+        return random_affine(
+            img, boxes, labels, rng, self.imgsz,
+            hyp["degrees"], hyp["translate"], hyp["scale"],
+            hyp["shear"], hyp["perspective"],
+        )
 
     def close_mosaic(self) -> None:
         self.hyp["mosaic"] = 0.0
@@ -273,17 +419,28 @@ class YoloDetectionDataset:
         )
         hyp = self.hyp
         if self.augment and rng.uniform() < hyp["mosaic"]:
-            img, boxes, labels = self._mosaic(idx, rng)
-            img, boxes, labels = random_affine(
-                img, boxes, labels, rng, self.imgsz,
-                hyp["degrees"], hyp["translate"], hyp["scale"],
-            )
+            img, boxes, labels = self._mosaic_affine(idx, rng)
+            if rng.uniform() < hyp["mixup"]:
+                # MixUp blends two mosaic outputs (reference pre_transform)
+                idx2 = int(rng.integers(0, len(self.images)))
+                img2, boxes2, labels2 = self._mosaic_affine(idx2, rng)
+                img, boxes, labels = mixup(
+                    img, boxes, labels, img2, boxes2, labels2, rng
+                )
         else:
             img, boxes, labels = self._load_raw(idx)
-            img, gain, (px, py) = letterbox_np(img, self.imgsz)
+            target = (
+                self._rect_shapes[idx] if self._rect_shapes is not None
+                else self.imgsz
+            )
+            img, gain, (px, py) = letterbox_np(img, target)
             if len(boxes):
                 boxes = boxes * gain + [px, py, px, py]
         if self.augment:
+            if hyp["copy_paste"] > 0:
+                img, boxes, labels = copy_paste(
+                    img, boxes, labels, rng, p=hyp["copy_paste"]
+                )
             img = hsv_jitter(img, rng, hyp["hsv_h"], hyp["hsv_s"], hyp["hsv_v"])
             if any(hyp.get(k, 0) for k in ("noise", "blur", "jpeg", "distort", "erasing")):
                 from kuzu.data.augment_extra import apply_photometric
@@ -296,11 +453,11 @@ class YoloDetectionDataset:
             if rng.uniform() < hyp["fliplr"]:
                 img = img[:, ::-1]
                 if len(boxes):
-                    boxes[:, [0, 2]] = self.imgsz - boxes[:, [2, 0]]
+                    boxes[:, [0, 2]] = img.shape[1] - boxes[:, [2, 0]]
             if rng.uniform() < hyp["flipud"]:
                 img = img[::-1]
                 if len(boxes):
-                    boxes[:, [1, 3]] = self.imgsz - boxes[:, [3, 1]]
+                    boxes[:, [1, 3]] = img.shape[0] - boxes[:, [3, 1]]
 
         m = self.max_boxes
         out_boxes = np.zeros((m, 4), np.float32)

@@ -91,10 +91,14 @@ class YoloDetector:
     def decode(
         self, feats: list[jnp.ndarray], imgsz: int | None = None
     ) -> jnp.ndarray:
-        """Raw maps -> (B, 4 + nc, A): xywh pixel boxes + sigmoid scores."""
+        """Raw maps -> (B, 4 + nc, A): xywh pixel boxes + sigmoid scores.
+
+        Anchor grids derive from the actual per-level map shapes, so
+        non-square (rect-batched) inputs decode correctly; ``imgsz`` is
+        accepted for API compatibility only."""
         box_dist, cls = self.flatten_feats(feats)
-        imgsz = imgsz or (feats[0].shape[1] * self.strides[0])
-        anchor_points, stride_t = self.anchors(imgsz)
+        shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        anchor_points, stride_t = make_anchors(shapes, self.strides)
         dist = dfl_expectation(box_dist, REG_MAX)  # (B, A, 4)
         boxes = dist2bbox(dist, anchor_points[None], xywh=True) * stride_t[None]
         pred = jnp.concatenate(

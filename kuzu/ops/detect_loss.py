@@ -61,7 +61,9 @@ def detection_loss(
     pred_dist = cat[..., : 4 * REG_MAX]
     pred_logits = cat[..., 4 * REG_MAX :]
 
-    feat_shapes = [(imgsz // s, imgsz // s) for s in strides]
+    # anchor grids derive from the ACTUAL feature-map shapes, so non-square
+    # (rect-batched) inputs work unchanged; imgsz is kept for API compat
+    feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
     anchor_points, stride_t = make_anchors(feat_shapes, list(strides))  # grid units
 
     # decode predicted boxes in grid units, then pixels for the assigner

@@ -119,6 +119,22 @@ class BaseTrainer:
     def preprocess_batch(self, batch: dict) -> dict:
         return batch
 
+    def _device_prefetch(self, loader: Any, depth: int = 2):
+        """1-deep (default) device double-buffering: batch N+1 is device_put
+        (async) while the jitted step for batch N runs, so host->device
+        transfer overlaps compute instead of serializing with it — the
+        reference gets this from CUDA-stream prefetch in its torch loader."""
+        import collections
+
+        buf: collections.deque = collections.deque()
+        for batch in loader:
+            batch = self.preprocess_batch(batch)
+            buf.append(shard_batch(batch, self.mesh))
+            if len(buf) >= depth:
+                yield buf.popleft()
+        while buf:
+            yield buf.popleft()
+
     # ------------------------------------------------------------ the loop
     def train(self) -> dict:
         cfg = self.cfg
@@ -184,9 +200,7 @@ class BaseTrainer:
             agg: dict[str, float] = {}
             n_steps = 0
             te = time.perf_counter()
-            for batch in train_loader:
-                batch = self.preprocess_batch(batch)
-                batch = shard_batch(batch, self.mesh)
+            for batch in self._device_prefetch(train_loader):
                 rng, step_rng = jax.random.split(rng)
                 self.state, metrics = self._step(self.state, batch, step_rng)
                 n_steps += 1

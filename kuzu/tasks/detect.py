@@ -37,11 +37,13 @@ class DetectTrainer(BaseTrainer):
             k: float(cfg.get(k))
             for k in (
                 "mosaic", "fliplr", "flipud", "hsv_h", "hsv_s", "hsv_v",
-                "degrees", "translate", "scale",
+                "degrees", "translate", "scale", "shear", "perspective",
+                "mixup", "copy_paste", "erasing",
             )
             if cfg.get(k) is not None
         }
         self.data_spec = load_dataset_yaml(cfg.data)
+        rect = bool(cfg.get("rect", False))
         self.train_ds = YoloDetectionDataset(
             self.data_spec,
             split="train",
@@ -50,24 +52,28 @@ class DetectTrainer(BaseTrainer):
             augment=bool(cfg.get("augment", True)),
             hyp=hyp,
             seed=int(cfg.get("seed", 0)),
+            rect=rect,
         )
         try:
             self.val_ds = YoloDetectionDataset(
                 self.data_spec, split="val", imgsz=imgsz,
-                max_boxes=max_boxes, augment=False,
+                max_boxes=max_boxes, augment=False, rect=rect,
             )
         except FileNotFoundError:
             self.val_ds = YoloDetectionDataset(
                 self.data_spec, split="train", imgsz=imgsz,
-                max_boxes=max_boxes, augment=False,
+                max_boxes=max_boxes, augment=False, rect=rect,
             )
         batch = int(cfg.get("batch", 16))
         workers = int(cfg.get("workers", 4))
         train_loader = _EpochLoader(
-            self.train_ds, batch, seed=int(cfg.get("seed", 0)), num_workers=workers
+            self.train_ds, batch, seed=int(cfg.get("seed", 0)),
+            num_workers=workers,
+            group_fn=self.train_ds.batch_shape_key if self.train_ds.rect else None,
         )
         val_loader = DataLoader(
-            self.val_ds, batch, shuffle=False, pad_last=True, num_workers=workers
+            self.val_ds, batch, shuffle=False, pad_last=True, num_workers=workers,
+            group_fn=self.val_ds.batch_shape_key if self.val_ds.rect else None,
         )
         return train_loader, val_loader
 
@@ -186,9 +192,10 @@ class DetectTrainer(BaseTrainer):
 class _EpochLoader(DataLoader):
     """DataLoader that forwards set_epoch to the dataset (mosaic seeding)."""
 
-    def __init__(self, dataset, batch, seed=0, num_workers=4):
+    def __init__(self, dataset, batch, seed=0, num_workers=4, group_fn=None):
         super().__init__(
-            dataset, batch, shuffle=True, seed=seed, num_workers=num_workers
+            dataset, batch, shuffle=True, seed=seed, num_workers=num_workers,
+            group_fn=group_fn,
         )
 
     def set_epoch(self, epoch: int) -> None:

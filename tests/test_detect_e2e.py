@@ -155,3 +155,56 @@ def test_detect_predict_roundtrip(yolo_dataset, tmp_path):
     # rescaled boxes are within the original 96x96 frame
     if len(r["boxes"]):
         assert (r["boxes"] >= 0).all() and (r["boxes"] <= 96).all()
+
+
+def test_mixup_shear_perspective_produce_valid_boxes(yolo_dataset):
+    """Every formerly-silent aug flag now transforms (reference
+    data/augment.py:867 MixUp, :952 shear/perspective)."""
+    from kuzu.data.yolo_dataset import YoloDetectionDataset
+
+    ds = YoloDetectionDataset(
+        yolo_dataset, split="train", imgsz=64,
+        hyp={"mosaic": 1.0, "mixup": 1.0, "shear": 10.0,
+             "perspective": 0.0005, "scale": 0.4},
+    )
+    for i in range(4):
+        s = ds[i]
+        b = s["gt_boxes"][s["mask_gt"]]
+        if len(b):
+            assert (b[:, 2:] - b[:, :2] > 0).all()
+            assert (b >= 0).all() and (b <= 64).all()
+
+
+def test_copy_paste_adds_instances(yolo_dataset):
+    from kuzu.data.yolo_dataset import copy_paste
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    img = np.full((64, 64, 3), 114, np.uint8)
+    img[10:20, 5:15] = 255
+    boxes = np.array([[5.0, 10, 15, 20]], np.float32)
+    labels = np.array([1], np.int32)
+    out_img, out_boxes, out_labels = copy_paste(img, boxes, labels, rng, p=1.0)
+    assert len(out_boxes) == 2  # mirrored instance added
+    assert out_labels.tolist() == [1, 1]
+    m = out_boxes[1]
+    assert (m >= 0).all() and (m <= 64).all()
+    # mirrored patch actually pasted
+    assert out_img[10:20, 49:59].max() == 255
+
+
+def test_affine_respects_aspect_filter(yolo_dataset):
+    from kuzu.data.yolo_dataset import random_affine
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    img = np.zeros((64, 64, 3), np.uint8)
+    boxes = np.array([[10.0, 10, 40, 40]], np.float32)
+    labels = np.array([0], np.int32)
+    out, nb, nl = random_affine(
+        img, boxes, labels, rng, 64, degrees=5, translate=0.05, scale=0.1,
+        shear=5.0, perspective=0.0005,
+    )
+    assert out.shape == (64, 64, 3)
+    if len(nb):
+        assert (nb[:, 2:] - nb[:, :2] > 0).all()

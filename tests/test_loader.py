@@ -55,3 +55,58 @@ def test_loader_worker_error_propagates():
     except RuntimeError:
         raised = True
     assert raised
+
+
+def test_grouped_batches_respect_groups():
+    """group_fn batches never mix groups (rect/aspect-grouped batching)."""
+    from kuzu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            import numpy as np
+
+            return {"idx": np.array(i)}
+
+    group = lambda i: "a" if i < 6 else "b"
+    dl = DataLoader(DS(), 2, shuffle=True, seed=3, num_workers=0, group_fn=group)
+    assert len(dl) == 5
+    seen = []
+    for batch in dl:
+        idxs = batch["idx"].tolist()
+        keys = {group(i) for i in idxs}
+        assert len(keys) == 1  # no mixed-shape batch
+        seen.extend(idxs)
+    assert sorted(seen) == list(range(10))
+
+
+def test_rect_dataset_buckets(tmp_path):
+    """Tall images land in a non-square, stride-aligned bucket."""
+    import numpy as np
+    import cv2
+    import yaml
+
+    root = tmp_path
+    (root / "images/val").mkdir(parents=True)
+    (root / "labels/val").mkdir(parents=True)
+    # two tall pages, one wide
+    for i, (h, w) in enumerate([(200, 100), (200, 100), (100, 200)]):
+        cv2.imwrite(str(root / f"images/val/{i}.png"),
+                    np.full((h, w, 3), 200, np.uint8))
+        (root / f"labels/val/{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+    (root / "d.yaml").write_text(yaml.safe_dump(
+        {"path": str(root), "train": "images/val", "val": "images/val",
+         "nc": 1, "names": {0: "x"}}))
+    from kuzu.data.yolo_dataset import YoloDetectionDataset
+
+    ds = YoloDetectionDataset(root / "d.yaml", split="val", imgsz=128,
+                              augment=False, rect=True, stride=32)
+    k0, k2 = ds.batch_shape_key(0), ds.batch_shape_key(2)
+    assert k0 == (128, 64)   # tall: short side 128/2 = 64, stride-aligned
+    assert k2 == (64, 128)   # wide
+    s = ds[0]
+    assert s["image"].shape == (128, 64, 3)
+    b = s["gt_boxes"][s["mask_gt"]]
+    assert (b >= 0).all() and (b[:, [0, 2]] <= 64).all()

@@ -92,3 +92,67 @@ def test_botsort_survives_camera_shift():
         assert len(tracks) == 1
         ids.append(tracks[0].track_id)
     assert len(set(ids)) == 1, f"identity lost under camera motion: {ids}"
+
+
+def test_model_track_facade(tmp_path):
+    """Model.track wires predict -> tracker -> Results.boxes.id
+    (reference engine/model.py:562)."""
+    import numpy as np
+
+    from kuzu.api.model import Model, register_task
+    from kuzu.api.results import Boxes, Results
+
+    class _StubPredictor:
+        """Two frames of one box drifting right."""
+
+        def __init__(self, cfg):
+            self.cfg = cfg
+            self.n = 0
+
+        def __call__(self, source):
+            results = []
+            for _ in list(source):
+                x = 10.0 + 3 * self.n
+                self.n += 1
+                results.append(
+                    Results(
+                        orig_img=None, path="", names={},
+                        boxes=Boxes(
+                            np.array([[x, 10, x + 20, 40]]),
+                            np.array([0.9]), np.array([0]), (64, 64),
+                        ),
+                    )
+                )
+            return results
+
+    register_task("_stub_track", predictor=_StubPredictor)
+    m = Model("anything", task="_stub_track")
+    out = m.track(["f0", "f1", "f2"], tracker="bytetrack")
+    assert len(out) == 3
+    ids = [r.boxes.id.tolist() for r in out]
+    assert ids[0] == ids[1] == ids[2]  # one stable identity across frames
+
+
+def test_model_tune_facade(tmp_path):
+    """Model.tune runs the evolution loop and writes tune_results.csv
+    (reference engine/model.py:817)."""
+    from kuzu.api.model import Model, register_task
+
+    calls = []
+
+    class _StubTrainer:
+        def __init__(self, cfg):
+            self.cfg = cfg
+
+        def train(self):
+            lr = float(self.cfg.get("lr0", 0.01))
+            calls.append(lr)
+            return {"fitness": 1.0 - abs(lr - 0.02)}
+
+    register_task("_stub_tune", trainer=_StubTrainer)
+    m = Model("anything", task="_stub_tune")
+    res = m.tune(iterations=4, tune_dir=str(tmp_path / "tune"), epochs=1)
+    assert len(calls) == 4
+    assert "best_fitness" in res
+    assert (tmp_path / "tune" / "tune_results.csv").exists()
+    assert (tmp_path / "tune" / "best_hyps.yaml").exists()
