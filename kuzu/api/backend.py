@@ -29,6 +29,8 @@ class AutoBackend:
             return "stablehlo"
         if p.suffix == ".tflite":
             return "tflite"
+        if p.suffix == ".onnx":
+            return "onnx"
         if p.is_dir() and (p / "saved_model.pb").exists():
             return "saved_model"
         raise ValueError(f"cannot identify model artifact: {p}")
@@ -59,6 +61,16 @@ class AutoBackend:
 
             self._interp = tf.lite.Interpreter(model_path=str(self.source))
             self._interp.allocate_tensors()
+        elif self.kind == "onnx":
+            # gated like export_onnx: onnxruntime is not in this image
+            try:
+                import onnxruntime as ort
+            except ImportError as e:
+                raise ImportError(
+                    "loading .onnx requires the 'onnxruntime' package "
+                    "(not in this environment)"
+                ) from e
+            self._sess = ort.InferenceSession(str(self.source))
 
     def __call__(self, images: np.ndarray) -> dict[str, np.ndarray]:
         """(B, H, W, 3) float32 [0,1] -> padded detections dict."""
@@ -67,6 +79,16 @@ class AutoBackend:
 
             out = self._predictor._fwd(jnp.asarray(images))
             return {k: np.asarray(v) for k, v in out.items()}
+        if self.kind == "onnx":
+            name = self._sess.get_inputs()[0].name
+            outs = self._sess.run(None, {name: np.asarray(images, np.float32)})
+            boxes, scores, classes, valid = outs[:4]
+            return {
+                "boxes": np.asarray(boxes),
+                "scores": np.asarray(scores),
+                "classes": np.asarray(classes),
+                "valid": np.asarray(valid),
+            }
         if self.kind == "stablehlo":
             out = self._fn(images)
             if isinstance(out, dict):

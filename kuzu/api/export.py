@@ -143,6 +143,26 @@ def export_tf(
     raise ValueError(f"unknown tf export format '{fmt}'")
 
 
+def export_onnx(saved_model_dir: str | Path, out_path: str | Path) -> Path:
+    """SavedModel -> ONNX via tf2onnx (reference ``engine/exporter.py:107``
+    export_onnx). tf2onnx/onnx are not in this image, so the hop is gated
+    like the IIIF fetch: present, tested for its error contract, and active
+    the moment the dependency exists.
+    """
+    try:
+        from tf2onnx import convert as _convert
+    except ImportError as e:
+        raise ImportError(
+            "ONNX export needs the 'tf2onnx' + 'onnx' packages "
+            "(not in this environment). Export format=saved_model and run "
+            "`python -m tf2onnx.convert --saved-model <dir> --output "
+            "model.onnx` where they are installed."
+        ) from e
+    out_path = Path(out_path).with_suffix(".onnx")
+    _convert.from_saved_model(str(saved_model_dir), output_path=str(out_path))
+    return out_path
+
+
 class Exporter:
     """Task-map component for ``Model(...).export()``."""
 
@@ -161,38 +181,45 @@ class Exporter:
         )
         if fmt == "stablehlo":
             return export_detector(run_dir, **kwargs)
+        if fmt == "onnx":
+            # two-hop: SavedModel first, then tf2onnx (gated on the dep)
+            saved = self._export_tf_family(run_dir, "saved_model", kwargs)
+            return export_onnx(saved, Path(run_dir) / "export" / "detector")
         if fmt in ("saved_model", "tflite"):
-            from kuzu.core.config import load_config
-            from kuzu.tasks.detect import DetectPredictor
-
-            predictor = DetectPredictor(
-                load_config(
-                    overrides={"model": run_dir, "conf": kwargs["conf"],
-                               "iou": kwargs["iou"], "max_det": kwargs["max_det"]}
-                )
-            )
-            predictor._setup()
-            det, variables, imgsz = (
-                predictor.detector, predictor.variables, predictor.imgsz
-            )
-            from kuzu.ops.nms import non_max_suppression
-
-            def fwd(images):
-                feats = det.module.apply(variables, images, train=False)
-                pred = det.decode(feats, imgsz=imgsz)
-                if kwargs["include_nms"]:
-                    out = non_max_suppression(
-                        pred, conf_thres=kwargs["conf"], iou_thres=kwargs["iou"],
-                        max_det=kwargs["max_det"],
-                    )
-                    return (out["boxes"], out["scores"],
-                            out["classes"], out["valid"])
-                return pred
-
-            example = (
-                jnp.zeros((kwargs["batch"], imgsz, imgsz, 3), jnp.float32),
-            )
-            return export_tf(
-                fwd, example, Path(run_dir) / "export" / f"detector_{fmt}", fmt=fmt
-            )
+            return self._export_tf_family(run_dir, fmt, kwargs)
         raise NotImplementedError(f"format '{fmt}' not supported")
+
+    def _export_tf_family(self, run_dir: str, fmt: str, kwargs: dict) -> Path:
+        from kuzu.core.config import load_config
+        from kuzu.tasks.detect import DetectPredictor
+
+        predictor = DetectPredictor(
+            load_config(
+                overrides={"model": run_dir, "conf": kwargs["conf"],
+                           "iou": kwargs["iou"], "max_det": kwargs["max_det"]}
+            )
+        )
+        predictor._setup()
+        det, variables, imgsz = (
+            predictor.detector, predictor.variables, predictor.imgsz
+        )
+        from kuzu.ops.nms import non_max_suppression
+
+        def fwd(images):
+            feats = det.module.apply(variables, images, train=False)
+            pred = det.decode(feats, imgsz=imgsz)
+            if kwargs["include_nms"]:
+                out = non_max_suppression(
+                    pred, conf_thres=kwargs["conf"], iou_thres=kwargs["iou"],
+                    max_det=kwargs["max_det"],
+                )
+                return (out["boxes"], out["scores"],
+                        out["classes"], out["valid"])
+            return pred
+
+        example = (
+            jnp.zeros((kwargs["batch"], imgsz, imgsz, 3), jnp.float32),
+        )
+        return export_tf(
+            fwd, example, Path(run_dir) / "export" / f"detector_{fmt}", fmt=fmt
+        )

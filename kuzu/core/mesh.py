@@ -64,6 +64,40 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+# Megatron-style tensor-parallel presets over the 'model' mesh axis:
+# attention q/k/v and MLP fc1 column-parallel (shard the output dim), the
+# output/fc2 projections row-parallel (shard the input dim), lm_head
+# column-parallel. Substrings match kuzu.models.layers names — 'attn/q'
+# also catches self_attn/cross_attn. The reference is DP-only; these make
+# "TP is a config away" real: pass tp_rules=<preset> with mesh.model > 1.
+TP_PRESETS: dict[str, list[tuple[str, P]]] = {
+    "transformer": [
+        ("attn/q/kernel", P(None, "model")),
+        ("attn/k/kernel", P(None, "model")),
+        ("attn/v/kernel", P(None, "model")),
+        ("attn/out/kernel", P("model", None)),
+        ("mlp/fc1/kernel", P(None, "model")),
+        ("mlp/fc2/kernel", P("model", None)),
+        ("lm_head/kernel", P(None, "model")),
+    ],
+}
+# TrOCR (encoder+decoder blocks) and the char-MLM share the layer zoo, so
+# the generic transformer rules apply verbatim.
+TP_PRESETS["trocr"] = TP_PRESETS["transformer"]
+TP_PRESETS["char_mlm"] = TP_PRESETS["transformer"] + [
+    ("head_transform/kernel", P(None, "model")),
+]
+
+
+def tp_preset(name: str):
+    """rule_fn for a named TP preset (see ``TP_PRESETS``)."""
+    if name not in TP_PRESETS:
+        raise KeyError(
+            f"unknown tp preset '{name}' (have {sorted(TP_PRESETS)})"
+        )
+    return param_spec_rules(TP_PRESETS[name])
+
+
 def param_spec_rules(rules: list[tuple[str, P]]):
     """Build a path->PartitionSpec function from (substring, spec) rules.
 

@@ -160,6 +160,19 @@ class BaseTrainer:
             params, tx, use_ema=use_ema, model_state=model_state
         )
         accumulate = max(int(cfg.get("accumulate", 1)), 1)
+        # tensor parallelism: with mesh.model > 1 and a tp_rules preset the
+        # state shards by path rules and XLA inserts the TP collectives
+        state_sharding = None
+        if dict(self.mesh.shape).get("model", 1) > 1 and cfg.get("tp_rules"):
+            from kuzu.core.mesh import state_shardings, tp_preset
+
+            rule_fn = tp_preset(str(cfg.get("tp_rules")))
+            state_sharding = state_shardings(
+                jax.eval_shape(lambda: self.state), self.mesh, rule_fn
+            )
+            self.state = jax.device_put(self.state, state_sharding)
+            LOGGER.info(f"tensor parallel: preset '{cfg.get('tp_rules')}' over "
+                        f"model axis {dict(self.mesh.shape)['model']}")
         self._step = make_train_step(
             self.loss_fn,
             tx,
@@ -168,6 +181,7 @@ class BaseTrainer:
             ema_tau=float(cfg.get("ema_tau", 2000)),
             accumulate=accumulate,
             has_model_state=model_state is not None,
+            state_sharding=state_sharding,
         )
 
         start_epoch = 0

@@ -186,3 +186,39 @@ def test_export_stablehlo_autobackend(trained_run):
     r = be(np.zeros((1, 64, 64, 3), np.float32))
     assert r["boxes"].shape == (1, 300, 4)
     assert r["valid"].dtype == bool
+
+
+def test_onnx_export_gate():
+    """format=onnx is wired; in this image the tf2onnx hop raises a clear
+    gated ImportError (dependency absent), never a silent no-op."""
+    import pytest
+
+    try:
+        import tf2onnx  # noqa: F401
+
+        has = True
+    except ImportError:
+        has = False
+    if has:
+        pytest.skip("tf2onnx present; full path covered by saved_model test")
+    from kuzu.api.export import export_onnx
+
+    with pytest.raises(ImportError, match="tf2onnx"):
+        export_onnx("/nonexistent_saved_model", "/tmp/x.onnx")
+
+
+def test_autobackend_onnx_gate(tmp_path):
+    import pytest
+
+    p = tmp_path / "m.onnx"
+    p.write_bytes(b"\x08\x01")
+    from kuzu.api.backend import AutoBackend
+
+    try:
+        import onnxruntime  # noqa: F401
+
+        pytest.skip("onnxruntime present")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="onnxruntime"):
+        AutoBackend(p)

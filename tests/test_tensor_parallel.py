@@ -92,3 +92,71 @@ def test_tp_matches_replicated():
     # and its per-device shard is 1/4 of the full size
     shard_shape = fc1.addressable_shards[0].data.shape
     assert shard_shape[1] * 4 == fc1.shape[1]
+
+
+def test_trocr_tp_preset_matches_replicated():
+    """The shipped 'trocr' TP preset: DPx4TP teacher-forced training equals
+    the replicated run numerically (multi-head dims, enc+dec sharded)."""
+    import optax
+
+    from kuzu.core.mesh import tp_preset
+    from kuzu.models.trocr import TrOCR
+
+    def setup(mesh):
+        model = TrOCR(
+            vocab_size=24, image_size=(64, 32), patch_size=(16, 16),
+            enc_dim=64, enc_depth=2, enc_heads=4,
+            dec_dim=64, dec_depth=2, dec_heads=4, max_len=8,
+        )
+        images = jnp.zeros((1, 64, 32, 3), jnp.float32)
+        tokens = jnp.zeros((1, 7), jnp.int32)
+        params = jax.jit(
+            lambda: model.init(jax.random.key(0), images, tokens)["params"]
+        )()
+
+        def loss_fn(p, batch, rng):
+            logits = model.apply(
+                {"params": p}, batch["image"], batch["tokens"][:, :-1]
+            )
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, batch["tokens"][:, 1:]
+            )
+            return ce.mean(), {}
+
+        cfg = load_config(
+            overrides=["lr0=0.01", "epochs=1", "optimizer=adamw", "warmup_epochs=0"]
+        )
+        tx = build_optimizer(cfg, 10)
+        return model, loss_fn, tx, init_state(params, tx, use_ema=False)
+
+    rng = np.random.default_rng(1)
+    batch = {
+        "image": jnp.asarray(rng.uniform(0, 1, (8, 64, 32, 3)).astype(np.float32)),
+        "tokens": jnp.asarray(rng.integers(0, 24, (8, 8)).astype(np.int32)),
+    }
+
+    mesh_dp = make_mesh(data=8, model=1)
+    _, loss_fn, tx, state = setup(mesh_dp)
+    step_dp = make_train_step(loss_fn, tx, mesh=mesh_dp, donate=False)
+    losses_dp = []
+    s = state
+    for i in range(3):
+        s, m = step_dp(s, shard_batch(batch, mesh_dp), jax.random.key(i))
+        losses_dp.append(float(m["loss"]))
+
+    mesh_tp = make_mesh(data=2, model=4)
+    _, loss_fn, tx, state = setup(mesh_tp)
+    st_sh = state_shardings(jax.eval_shape(lambda: state), mesh_tp, tp_preset("trocr"))
+    state = jax.device_put(state, st_sh)
+    step_tp = make_train_step(
+        loss_fn, tx, mesh=mesh_tp, donate=False, state_sharding=st_sh
+    )
+    losses_tp = []
+    s = state
+    for i in range(3):
+        s, m = step_tp(s, shard_batch(batch, mesh_tp), jax.random.key(i))
+        losses_tp.append(float(m["loss"]))
+    np.testing.assert_allclose(losses_dp, losses_tp, rtol=2e-4, atol=2e-5)
+    # the preset actually sharded something
+    q = s.params["decoder"]["block0"]["self_attn"]["q"]["kernel"]
+    assert "model" in str(q.sharding.spec)
