@@ -33,8 +33,10 @@ EDITOR_HTML = r"""<!doctype html><html><head><title>kuzu annotator</title>
 <style>
 body{font-family:sans-serif;margin:1em}#wrap{display:flex;gap:16px}
 #canvas{border:1px solid #888;cursor:crosshair}
-#side{width:340px;font-size:13px}button{margin:2px}
+#side{width:360px;font-size:13px}button{margin:2px}
 .row-link{cursor:pointer;color:#06c;margin-right:6px}
+#chars span{cursor:pointer;padding:1px 4px;border:1px solid #ccc;margin:1px}
+#chars span.sel{background:#fdd}
 </style></head><body>
 <h3>kuzu annotator</h3>
 <div id=wrap>
@@ -47,55 +49,95 @@ body{font-family:sans-serif;margin:1em}#wrap{display:flex;gap:16px}
   <button onclick="delBox()">delete box</button>
   <button onclick="addMode=!addMode">add box</button>
   <button onclick="undo()">undo</button></div>
+ <div>char label: <input id=chlabel size=8 placeholder="U+XXXX">
+  <button onclick="setLabel()">set</button>
+  move char to row <input id=mvrow size=3>
+  <button onclick="moveChar()">move</button></div>
  <div>merge: <input id=ma size=3><input id=mb size=3>
   <button onclick="mergeRows()">merge</button>
   split at char <input id=sp size=3>
   <button onclick="splitRow()">split</button></div>
+ <div id=chars></div>
+ <div>zoom: wheel &middot; pan: shift-drag &middot; resize: drag corner &middot;
+  del key deletes</div>
  <div id=msg></div>
 </div></div>
 <script>
-let cur=-1, boxes=[], sel=-1, img=new Image(), scale=1, addMode=false, drag=null;
+let cur=-1, boxes=[], unis=[], sel=-1, img=new Image(), addMode=false, drag=null;
+let zoom=1, base=1, ox=0, oy=0;   // zoomable, pannable view transform
 const cv=document.getElementById('canvas'), cx=cv.getContext('2d');
+const HANDLE=8;
+function toImg(e){return [(e.offsetX-ox)/(base*zoom),(e.offsetY-oy)/(base*zoom)];}
 async function loadRows(){
   const r=await fetch('/rows?page=0'); const d=await r.json();
   document.getElementById('rows').innerHTML=d.rows.map(
-    (t,i)=>`<span class=row-link onclick="loadRow(${t.index})">#${t.index}</span>`).join('');
+    t=>`<span class=row-link onclick="loadRow(${t.index})">#${t.index}(${t.n_chars})</span>`).join('');
 }
 async function loadRow(i){
   const r=await fetch('/row/'+i); const d=await r.json();
-  cur=i; boxes=d.boxes; sel=-1;
+  cur=i; boxes=d.boxes; unis=d.unicode_ids.split(/\s+/).filter(x=>x); sel=-1;
+  zoom=1; ox=0; oy=0;
   document.getElementById('cur').textContent=i;
   document.getElementById('text').value=d.unicode_ids;
-  img.onload=()=>{scale=Math.min(400/img.width, 800/img.height);
-    cv.width=img.width*scale; cv.height=img.height*scale; draw();};
+  img.onload=()=>{base=Math.min(400/img.width, 800/img.height);
+    cv.width=400; cv.height=800; draw();};
   img.src='data:image/png;base64,'+d.image_b64;
 }
 function draw(){
-  cx.clearRect(0,0,cv.width,cv.height);
-  cx.drawImage(img,0,0,cv.width,cv.height);
-  boxes.forEach((b,i)=>{cx.strokeStyle=i===sel?'red':'lime';cx.lineWidth=2;
-    cx.strokeRect(b[0]*scale,b[1]*scale,(b[2]-b[0])*scale,(b[3]-b[1])*scale);});
+  const s=base*zoom;
+  cx.setTransform(1,0,0,1,0,0); cx.clearRect(0,0,cv.width,cv.height);
+  cx.setTransform(s,0,0,s,ox,oy);
+  cx.drawImage(img,0,0);
+  boxes.forEach((b,i)=>{cx.strokeStyle=i===sel?'red':'lime';cx.lineWidth=2/s;
+    cx.strokeRect(b[0],b[1],b[2]-b[0],b[3]-b[1]);
+    if(i===sel){cx.fillStyle='red';cx.fillRect(b[2]-HANDLE/s,b[3]-HANDLE/s,HANDLE/s,HANDLE/s);}});
+  renderChars();
 }
+function renderChars(){
+  document.getElementById('chars').innerHTML=boxes.map((b,i)=>
+    `<span class="${i===sel?'sel':''}" onclick="selChar(${i})">${i}:${unis[i]||'?'}</span>`).join('');
+}
+function selChar(i){sel=i;document.getElementById('chlabel').value=unis[i]||'';draw();}
+cv.onwheel=e=>{e.preventDefault();
+  const f=e.deltaY<0?1.2:1/1.2, [ix,iy]=toImg(e);
+  zoom=Math.max(0.2,Math.min(zoom*f,20));
+  ox=e.offsetX-ix*base*zoom; oy=e.offsetY-iy*base*zoom; draw();};
 cv.onmousedown=e=>{
-  const x=e.offsetX/scale,y=e.offsetY/scale;
-  if(addMode){drag={mode:'new',x,y};boxes.push([x,y,x+1,y+1]);sel=boxes.length-1;return;}
+  if(e.shiftKey){drag={mode:'pan',x:e.offsetX,y:e.offsetY,ox,oy};return;}
+  const [x,y]=toImg(e), s=base*zoom;
+  if(addMode){drag={mode:'new',x,y};boxes.push([x,y,x+1,y+1]);unis.push('?');sel=boxes.length-1;return;}
+  if(sel>=0){const b=boxes[sel];
+    if(Math.abs(x-b[2])<HANDLE/s&&Math.abs(y-b[3])<HANDLE/s){drag={mode:'resize'};return;}}
   sel=boxes.findIndex(b=>x>=b[0]&&x<=b[2]&&y>=b[1]&&y<=b[3]);
-  if(sel>=0)drag={mode:'move',x,y,orig:[...boxes[sel]]};
+  if(sel>=0){drag={mode:'move',x,y,orig:[...boxes[sel]]};
+    document.getElementById('chlabel').value=unis[sel]||'';}
   draw();
 };
 cv.onmousemove=e=>{
-  if(!drag)return;const x=e.offsetX/scale,y=e.offsetY/scale;
-  if(drag.mode==='new'){boxes[sel][2]=x;boxes[sel][3]=y;}
+  if(!drag)return;
+  if(drag.mode==='pan'){ox=drag.ox+e.offsetX-drag.x;oy=drag.oy+e.offsetY-drag.y;draw();return;}
+  const [x,y]=toImg(e);
+  if(drag.mode==='new'||drag.mode==='resize'){boxes[sel][2]=x;boxes[sel][3]=y;}
   else{const dx=x-drag.x,dy=y-drag.y;const o=drag.orig;
     boxes[sel]=[o[0]+dx,o[1]+dy,o[2]+dx,o[3]+dy];}
   draw();
 };
 cv.onmouseup=()=>{drag=null;addMode=false;};
-function delBox(){if(sel>=0){boxes.splice(sel,1);sel=-1;draw();}}
+document.onkeydown=e=>{if(e.key==='Delete')delBox();};
+function delBox(){if(sel>=0){boxes.splice(sel,1);unis.splice(sel,1);sel=-1;
+  document.getElementById('text').value=unis.join(' ');draw();}}
+function setLabel(){if(sel>=0){unis[sel]=document.getElementById('chlabel').value;
+  document.getElementById('text').value=unis.join(' ');draw();}}
 async function save(){
   const r=await fetch('/row/'+cur,{method:'POST',body:JSON.stringify(
     {char_boxes_in_column:boxes,unicode_ids:document.getElementById('text').value})});
   msg(await r.text());
+}
+async function moveChar(){
+  if(sel<0)return msg('select a char first');
+  const r=await fetch('/move',{method:'POST',body:JSON.stringify(
+    {src:cur,char:sel,dst:+document.getElementById('mvrow').value})});
+  msg(await r.text());loadRow(cur);loadRows();
 }
 async function mergeRows(){
   const r=await fetch('/merge',{method:'POST',body:JSON.stringify(
@@ -193,6 +235,34 @@ class AnnotationStore:
             self.df.loc[len(self.df)] = new
             self._flush()
 
+    def move_char(self, src: int, char: int, dst: int) -> None:
+        """Move one character (box + unicode id) from row src to row dst —
+        the Tk editor's cross-column move (reassign a glyph that the column
+        detector attached to the wrong column)."""
+        with self.lock:
+            self._backup()
+            sb = json.loads(self.df.at[src, "char_boxes_in_column"])
+            su = str(self.df.at[src, "unicode_ids"]).split()
+            if not (0 <= char < len(sb)):
+                raise IndexError(f"char {char} out of range for row {src}")
+            box = sb.pop(char)
+            uni = su.pop(char) if char < len(su) else "?"
+            db = json.loads(self.df.at[dst, "char_boxes_in_column"])
+            du = str(self.df.at[dst, "unicode_ids"]).split()
+            db.append(box)
+            du.append(uni)
+            self.df.at[src, "char_boxes_in_column"] = json.dumps(sb)
+            self.df.at[src, "unicode_ids"] = " ".join(su)
+            self.df.at[dst, "char_boxes_in_column"] = json.dumps(db)
+            self.df.at[dst, "unicode_ids"] = " ".join(du)
+            self._flush()
+
+    def n_chars(self, i: int) -> int:
+        try:
+            return len(json.loads(self.df.at[i, "char_boxes_in_column"]))
+        except (json.JSONDecodeError, TypeError, KeyError):
+            return 0
+
     def undo(self) -> bool:
         with self.lock:
             import pandas as pd
@@ -230,7 +300,7 @@ def make_annotator_server(csv_path: str | Path, host="127.0.0.1", port=8002):
                 page = int(parse_qs(u.query).get("page", ["0"])[0])
                 lo = page * 50
                 rows = [
-                    {"index": int(i)}
+                    {"index": int(i), "n_chars": store.n_chars(i)}
                     for i in range(lo, min(lo + 50, len(store.df)))
                 ]
                 self._send(200, json.dumps({"rows": rows, "total": len(store.df)}))
@@ -259,6 +329,11 @@ def make_annotator_server(csv_path: str | Path, host="127.0.0.1", port=8002):
                         str(data.get("unicode_ids", "")),
                     )
                     self._send(200, '{"status": "saved"}')
+                elif u.path == "/move":
+                    store.move_char(
+                        int(data["src"]), int(data["char"]), int(data["dst"])
+                    )
+                    self._send(200, '{"status": "moved"}')
                 elif u.path == "/merge":
                     store.merge(int(data["a"]), int(data["b"]))
                     self._send(200, '{"status": "merged"}')

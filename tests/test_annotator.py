@@ -113,3 +113,34 @@ def test_editor_page(server):
     with urllib.request.urlopen(f"http://127.0.0.1:{port}/") as r:
         body = r.read().decode()
     assert "kuzu annotator" in body and "canvas" in body
+
+
+def test_move_char_between_rows(store_csv):
+    """Cross-column character move (Tk editor parity)."""
+    from kuzu.serve.annotator import AnnotationStore
+
+    store = AnnotationStore(store_csv)
+    n0 = store.n_chars(0)
+    n1 = store.n_chars(1)
+    import json as _json
+
+    first_box = _json.loads(store.df.at[0, "char_boxes_in_column"])[0]
+    store.move_char(0, 0, 1)
+    assert store.n_chars(0) == n0 - 1
+    assert store.n_chars(1) == n1 + 1
+    moved = _json.loads(store.df.at[1, "char_boxes_in_column"])[-1]
+    assert moved == first_box
+    # undo restores
+    assert store.undo()
+    assert store.n_chars(0) == n0
+
+
+def test_move_endpoint_http(server):
+    port = server["port"]
+    before = _get(port, "/rows?page=0")["rows"]
+    assert "n_chars" in before[0]
+    out = _post(port, "/move", {"src": 0, "char": 0, "dst": 1})
+    assert out["status"] == "moved"
+    after = _get(port, "/rows?page=0")["rows"]
+    assert after[1]["n_chars"] == before[1]["n_chars"] + 1
+    assert after[0]["n_chars"] == before[0]["n_chars"] - 1
