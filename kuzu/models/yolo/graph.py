@@ -118,6 +118,10 @@ def parse_model_yaml(
                     c2, s_in, n_scaled,
                 )
             )
+        elif mod == "C2PSA":
+            c2 = make_divisible(min(args[0], max_ch) * width)
+            e = float(args[1]) if len(args) > 1 else 0.5
+            nodes.append(NodeSpec(i, frm_abs, mod, [c2, e], c2, s_in, n_scaled))
         elif mod == "SPPF":
             c2 = make_divisible(min(args[0], max_ch) * width)
             k = int(args[1]) if len(args) > 1 else 5
@@ -217,6 +221,10 @@ class YoloGraph(nn.Module):
                     a[0], n=node.repeats, a2=a[1], area=a[2],
                     residual=a[3], mlp_ratio=a[4],
                     dtype=self.dtype, name=name,
+                )(ins[0], train)
+            elif m == "C2PSA":
+                cur = self._block(M.C2PSA)(
+                    a[0], n=node.repeats, e=a[1], dtype=self.dtype, name=name
                 )(ins[0], train)
             elif m == "SPPF":
                 cur = M.SPPF(a[0], a[1], dtype=self.dtype, name=name)(

@@ -323,6 +323,86 @@ class A2C2f(nn.Module):
         return out
 
 
+class Attention(nn.Module):
+    """PSA multi-head attention over flattened H*W tokens (reference
+    ``Attention``, ``block.py:868-923``): 1x1 qkv conv with reduced key dim
+    (attn_ratio * head_dim), 3x3 depthwise positional conv on v, 1x1 proj.
+    NHWC + batched einsum so XLA maps the token matmuls onto the MXU."""
+
+    dim: int
+    num_heads: int = 8
+    attn_ratio: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        hd = self.dim // self.num_heads
+        kd = int(hd * self.attn_ratio)
+        h = self.dim + 2 * kd * self.num_heads
+        qkv = Conv(h, 1, act=False, dtype=self.dtype, name="qkv")(x, train=train)
+        t = qkv.reshape(B, H * W, self.num_heads, 2 * kd + hd)
+        q, k, v = t[..., :kd], t[..., kd : 2 * kd], t[..., 2 * kd :]
+        attn = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * (kd**-0.5)
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd", attn, v, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        out = out.reshape(B, H, W, self.dim)
+        pe = Conv(
+            self.dim, 3, 1, 1, g=self.dim, act=False, dtype=self.dtype, name="pe"
+        )(v.reshape(B, H, W, self.dim), train=train)
+        return Conv(self.dim, 1, act=False, dtype=self.dtype, name="proj")(
+            out + pe, train=train
+        )
+
+
+class PSABlock(nn.Module):
+    """Position-sensitive attention block (reference ``PSABlock``,
+    ``block.py:924-959``): residual attention + residual conv-FFN."""
+
+    c: int
+    attn_ratio: float = 0.5
+    num_heads: int = 4
+    shortcut: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        a = Attention(
+            self.c, self.num_heads, self.attn_ratio, dtype=self.dtype, name="attn"
+        )(x, train=train)
+        x = x + a if self.shortcut else a
+        y = Conv(self.c * 2, 1, dtype=self.dtype, name="ffn1")(x, train=train)
+        y = Conv(self.c, 1, act=False, dtype=self.dtype, name="ffn2")(y, train=train)
+        return x + y if self.shortcut else y
+
+
+class C2PSA(nn.Module):
+    """CSP block whose inner modules are PSABlocks (reference ``C2PSA``,
+    ``block.py:1004-1047``) — the YOLO11 backbone attention stage."""
+
+    c2: int
+    n: int = 1
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        c = int(self.c2 * self.e)
+        y = Conv(2 * c, 1, dtype=self.dtype, name="cv1")(x, train=train)
+        a, b = y[..., :c], y[..., c:]
+        for i in range(self.n):
+            b = PSABlock(
+                c, 0.5, max(c // 64, 1), dtype=self.dtype, name=f"m{i}"
+            )(b, train=train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate([a, b], axis=-1), train=train
+        )
+
+
 class SPPF(nn.Module):
     """Spatial pyramid pooling (fast): 3 chained k-size maxpools, concat."""
 

@@ -13,6 +13,8 @@ CASES = [
     ("yolov12n", 80, 2_553_904),
     ("yolov12s", 80, 9_127_424),
     ("yolov8n", 80, 3_157_200),
+    ("yolo11n", 80, 2_624_080),
+    ("yolo11s", 80, 9_458_752),
 ]
 
 
