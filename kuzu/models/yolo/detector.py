@@ -38,13 +38,20 @@ class YoloDetector:
         dtype: Any = jnp.float32,
         imgsz: int = 640,
         remat: bool = False,
+        attn_impl: str = "auto",
     ):
         if isinstance(model, GraphSpec):
             self.spec = model
         else:
             path, scale = resolve_model_spec(str(model))
             self.spec = parse_model_yaml(path, scale=scale, nc=nc)
-        self.module = YoloGraph(self.spec, dtype=dtype, remat=remat)
+        if attn_impl == "auto":
+            # fused Pallas area attention on TPU (keeps the NxN scores in
+            # VMEM); einsum elsewhere (the kernel is TPU-only)
+            attn_impl = "flash" if jax.default_backend() == "tpu" else "einsum"
+        self.module = YoloGraph(
+            self.spec, dtype=dtype, remat=remat, attn_impl=attn_impl
+        )
         self.imgsz = imgsz
         self.strides = list(self.spec.strides)
         self.nc = self.spec.nc

@@ -185,6 +185,7 @@ class YoloGraph(nn.Module):
     spec: GraphSpec
     dtype: Any = jnp.float32
     remat: bool = False
+    attn_impl: str = "einsum"  # 'einsum' | 'flash' | 'dpa' (area attention)
 
     def _block(self, cls):
         return nn.remat(cls, static_argnums=(2,)) if self.remat else cls
@@ -219,7 +220,7 @@ class YoloGraph(nn.Module):
             elif m == "A2C2f":
                 cur = self._block(M.A2C2f)(
                     a[0], n=node.repeats, a2=a[1], area=a[2],
-                    residual=a[3], mlp_ratio=a[4],
+                    residual=a[3], mlp_ratio=a[4], attn_impl=self.attn_impl,
                     dtype=self.dtype, name=name,
                 )(ins[0], train)
             elif m == "C2PSA":

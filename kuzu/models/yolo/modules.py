@@ -235,12 +235,36 @@ class AAttn(nn.Module):
         def heads(t):
             return t.reshape(t.shape[0], t.shape[1], self.num_heads, hd)
 
-        qh, kh, vh = heads(q), heads(k), heads(v_t)
-        if self.impl == "dpa":
+        # fused Pallas area attention: softmax(QK^T)V per head entirely in
+        # VMEM, consuming the head-packed (G, N, C) layout directly — the
+        # einsum path materializes (G*H, N, N) f32 scores in HBM and is the
+        # forward's single largest cost at detector shapes (PERFORMANCE.md
+        # per-node profile: node 6 = 13.1 ms, mostly attention traffic).
+        # Inference-only (the kernel has no VJP); N needs 16-alignment and
+        # an N^2 f32 score tile that fits VMEM; TPU backend only.
+        import sys
+
+        import kuzu.ops.flash_attention  # noqa: F401  (module, not the
+        # re-exported function of the same name in kuzu.ops)
+        _fa = sys.modules["kuzu.ops.flash_attention"]
+
+        flash_ok = (
+            not train
+            and na % 16 == 0
+            and na * na * 4 <= 8 * 2**20
+            and (jax.default_backend() == "tpu" or _fa.INTERPRET)
+        )
+        if self.impl == "flash" and flash_ok:
+            out = _fa.area_attention(
+                q, k, v_t, self.num_heads, interpret=_fa.INTERPRET
+            ).reshape(B, H, W, self.dim)
+        elif self.impl == "dpa":
+            qh, kh, vh = heads(q), heads(k), heads(v_t)
             out = jax.nn.dot_product_attention(qh, kh, vh).reshape(
                 B, H, W, self.dim
             )
-        else:
+        else:  # einsum (also the train-time path under impl='flash')
+            qh, kh, vh = heads(q), heads(k), heads(v_t)
             attn = jnp.einsum(
                 "bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32
             ) * (hd**-0.5)

@@ -26,9 +26,15 @@ BLOCK_Q = 128
 BLOCK_K = 128
 NEG_INF = -1e30
 
+# tests flip this to run the kernels in interpret mode on the CPU backend;
+# callers gate kernel dispatch on `default_backend()=='tpu' or INTERPRET`
+INTERPRET = False
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_kv: int):
-    """Grid: (BH, N/BLOCK_Q). Blocks: q (1, BQ, D), k/v (1, N, D) full."""
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, *, scale: float, n_kv: int, block_k: int
+):
+    """Grid: (BH, N/BQ). Blocks: q (1, BQ, D), k/v (1, N, D) full."""
     q = q_ref[0].astype(jnp.float32) * scale  # (BQ, D)
     d = q.shape[-1]
     bq = q.shape[0]
@@ -39,8 +45,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_kv: int):
 
     def body(i, carry):
         acc, m, l = carry
-        k = k_ref[0, pl.ds(i * BLOCK_K, BLOCK_K), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(i * BLOCK_K, BLOCK_K), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (BQ, BK)
@@ -53,7 +59,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_kv: int):
         )
         return acc_new, m_new, l_new
 
-    acc, m, l = jax.lax.fori_loop(0, n_kv // BLOCK_K, body, (acc, m, l))
+    acc, m, l = jax.lax.fori_loop(0, n_kv // block_k, body, (acc, m, l))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
@@ -65,9 +71,25 @@ def flash_attention(
     scale: float | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Non-causal flash attention. N must be a 128 multiple; D pads to 128."""
+    """Non-causal fused attention; softmax(QK^T)V never touches HBM.
+
+    Two regimes share one kernel:
+    - long N (128-aligned): 128-row q blocks stream 128-row k/v blocks with
+      online softmax (the flash recipe);
+    - short N (the detector's area attention: N = HW/area, e.g. 400): one
+      q/k/v block per (batch*head) grid cell, the whole N x N score matrix
+      lives in VMEM. This is the production case for AAttn, where the XLA
+      path materializes (BH, N, N) f32 score tensors in HBM and becomes
+      bandwidth-bound (~245 MB per block at 40x40/area-4, x-scale).
+
+    D pads to the 128-lane width; N needs only bf16 sublane alignment (16).
+    """
     bh, n, d = q.shape
-    assert n % BLOCK_K == 0 and n % BLOCK_Q == 0, f"N={n} must be 128-aligned"
+    if n % BLOCK_Q == 0:
+        bq = bk = BLOCK_Q
+    else:
+        assert n <= 1024 and n % 16 == 0, f"unaligned N={n} must be <=1024, 16k"
+        bq = bk = n
     if scale is None:
         scale = 1.0 / (d**0.5)
     d_pad = (-d) % 128
@@ -77,22 +99,92 @@ def flash_attention(
     dp = q.shape[-1]
 
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, n_kv=n),
-        grid=(bh, n // BLOCK_Q),
+        functools.partial(_flash_kernel, scale=scale, n_kv=n, block_k=bk),
+        grid=(bh, n // bq),
         in_specs=[
-            pl.BlockSpec((1, BLOCK_Q, dp), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, bq, dp), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, dp), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, dp), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BLOCK_Q, dp), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((1, bq, dp), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, n, dp), q.dtype),
         interpret=interpret,
     )(q, k, v)
     return out[..., :d] if d_pad else out
+
+
+def _area_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, num_heads, hd):
+    """Grid: (G,). Blocks: (1, N, C) with C = num_heads*hd head-packed lanes.
+
+    All heads of one (batch*area) group are processed in one cell, slicing
+    the lane dimension per head — no head transpose, no D-padding copies in
+    HBM (the einsum path materializes (G*H, N, N) f32 score tensors; the
+    folded-head flash path pads D 32->128, quadrupling q/k/v traffic)."""
+    q = q_ref[0].astype(jnp.float32) * scale  # (N, C)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    for h in range(num_heads):
+        lo = h * hd
+        s = jax.lax.dot_general(
+            q[:, lo : lo + hd], k[:, lo : lo + hd],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # (N, N)
+        m = s.max(axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / p.sum(axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, v[:, lo : lo + hd],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, lo : lo + hd] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret"))
+def area_attention(
+    q: jnp.ndarray,  # (G, N, C) — heads packed in the channel/lane dim
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    scale: float | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused multi-head attention in the detector's natural layout.
+
+    The AAttn head produces q/k/v as (B*area, N, C) channel-packed maps
+    (reference ``block.py:1228-1262``); this kernel consumes them directly —
+    softmax(Q_h K_h^T) V_h per head entirely in VMEM. Inference-path only
+    (no VJP; training uses the einsum path).
+    """
+    g, n, c = q.shape
+    hd = c // num_heads
+    assert n % 16 == 0 and n * n * 4 <= 8 * 2**20, f"N={n} out of kernel range"
+    if scale is None:
+        scale = 1.0 / (hd**0.5)
+    c_pad = (-c) % 128
+    if c_pad:  # sub-128 channel tails (small scales) pad once
+        pad = ((0, 0), (0, 0), (0, c_pad))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    cp = q.shape[-1]
+    out = pl.pallas_call(
+        functools.partial(
+            _area_attn_kernel, scale=scale, num_heads=num_heads, hd=hd
+        ),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, n, cp), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(3)
+        ],
+        out_specs=pl.BlockSpec((1, n, cp), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, n, cp), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+    return out[..., :c] if c_pad else out
 
 
 def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
