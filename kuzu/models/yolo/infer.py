@@ -1,0 +1,316 @@
+"""Fused functional inference executor for the YOLO graph.
+
+The TPU analogue of the reference's inference-time model surgery
+(``BaseModel.fuse`` folds Conv+BN pairs before predict/export,
+``yolov12/ultralytics/nn/tasks.py:92+``): a pure function over the flax
+param pytree that
+
+- folds every BatchNorm into its conv's weights/bias (one multiply per
+  weight at trace time — XLA constant-folds nothing here since weights are
+  jit arguments, but the fold is ~60M cheap FLOPs, invisible next to the
+  conv itself);
+- runs area attention through the fused Pallas kernel
+  (``kuzu.ops.flash_attention.area_attention``);
+- keeps everything else as plain lax ops with no module/scope overhead.
+
+Outputs match ``YoloGraph.apply(train=False)`` to bf16 rounding (BN folding
+reassociates ``conv(x,w)*s`` into ``conv(x, w*s)``); the e2e decode+NMS
+parity is asserted on-chip and in ``tests/test_yolo_infer.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _fold_bn(conv_p: dict, bn_p: dict, bn_s: dict, eps: float = 1e-3):
+    """Fold BN(scale,bias,mean,var) into (W, b) of the preceding conv."""
+    w = conv_p["kernel"].astype(jnp.float32)
+    scale = bn_p["scale"].astype(jnp.float32)
+    bias = bn_p["bias"].astype(jnp.float32)
+    mean = bn_s["mean"].astype(jnp.float32)
+    var = bn_s["var"].astype(jnp.float32)
+    mult = scale * lax.rsqrt(var + eps)
+    return (w * mult).astype(jnp.bfloat16), (bias - mean * mult).astype(
+        jnp.float32
+    )
+
+
+class _P:
+    """Cursor over the nested param/batch_stats dicts of one module."""
+
+    def __init__(self, params: dict, stats: dict):
+        self.params = params
+        self.stats = stats
+
+    def child(self, name: str) -> "_P":
+        return _P(self.params[name], self.stats.get(name, {}))
+
+
+def conv(p: _P, x, s: int = 1, g: int = 1, act: bool = True, k: int | None = None):
+    """Conv + folded-BN + SiLU (the ``modules.Conv`` trio)."""
+    w, b = _fold_bn(p.params["conv"], p.params["bn"], p.stats["bn"])
+    kh = w.shape[0] if k is None else k
+    pad = kh // 2
+    y = lax.conv_general_dilated(
+        x, w, (s, s), [(pad, pad), (pad, pad)],
+        dimension_numbers=DN, feature_group_count=g,
+    )
+    y = y + b.astype(y.dtype)
+    return jax.nn.silu(y) if act else y
+
+
+def plain_conv(p: dict, x):
+    """Bias-carrying 1x1 conv with no BN (Detect head leaves)."""
+    w = p["kernel"].astype(x.dtype)
+    y = lax.conv_general_dilated(x, w, (1, 1), "VALID", dimension_numbers=DN)
+    return y + p["bias"].astype(y.dtype)
+
+
+def bottleneck(p: _P, x, shortcut: bool = True):
+    y = conv(p.child("cv1"), x)
+    y = conv(p.child("cv2"), y)
+    return x + y if shortcut and x.shape[-1] == y.shape[-1] else y
+
+
+def c3(p: _P, x, n: int = 2, shortcut: bool = True):
+    a = conv(p.child("cv1"), x)
+    for i in range(n):
+        a = bottleneck(p.child(f"m{i}"), a, shortcut)
+    b = conv(p.child("cv2"), x)
+    return conv(p.child("cv3"), jnp.concatenate([a, b], axis=-1))
+
+
+def c3k(p: _P, x, shortcut: bool = True):
+    return c3(p.child("c3"), x, n=2, shortcut=shortcut)
+
+
+def c3k2(p: _P, x, n: int, c3k_flag: bool, shortcut: bool = True):
+    y = conv(p.child("cv1"), x)
+    c = y.shape[-1] // 2
+    parts = [y[..., :c], y[..., c:]]
+    for i in range(n):
+        if c3k_flag:
+            parts.append(c3k(p.child(f"m{i}"), parts[-1], shortcut))
+        else:
+            parts.append(bottleneck(p.child(f"m{i}"), parts[-1], shortcut))
+    return conv(p.child("cv2"), jnp.concatenate(parts, axis=-1))
+
+
+def c2f(p: _P, x, n: int, shortcut: bool = False):
+    y = conv(p.child("cv1"), x)
+    c = y.shape[-1] // 2
+    parts = [y[..., :c], y[..., c:]]
+    for i in range(n):
+        parts.append(bottleneck(p.child(f"m{i}"), parts[-1], shortcut))
+    return conv(p.child("cv2"), jnp.concatenate(parts, axis=-1))
+
+
+def aattn(p: _P, x, num_heads: int, area: int):
+    """Area attention via the fused Pallas kernel (falls back to einsum on
+    shapes the kernel can't take — mirrors ``modules.AAttn``)."""
+    import sys
+
+    import kuzu.ops.flash_attention  # noqa: F401
+    _fa = sys.modules["kuzu.ops.flash_attention"]
+
+    B, H, W, C = x.shape
+    dim = p.params["v"]["conv"]["kernel"].shape[-1]
+    hd = dim // num_heads
+    qk = conv(p.child("qk"), x, act=False)
+    v = conv(p.child("v"), x, act=False)
+    pe = conv(p.child("pe"), v, g=dim, act=False)
+    area = area if area > 0 else 1
+    na = (H * W) // area
+    qk_t = qk.reshape(B * area, na, 2 * dim)
+    v_t = v.reshape(B * area, na, dim)
+    q, k = qk_t[..., :dim], qk_t[..., dim:]
+    kernel_ok = (
+        na % 16 == 0
+        and na * na * 4 <= 8 * 2**20
+        and (jax.default_backend() == "tpu" or _fa.INTERPRET)
+    )
+    if kernel_ok:
+        out = _fa.area_attention(
+            q, k, v_t, num_heads, interpret=_fa.INTERPRET
+        ).reshape(B, H, W, dim)
+    else:
+        out = _fa.xla_attention(
+            q.reshape(B * area, na, num_heads, hd)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, na, hd),
+            k.reshape(B * area, na, num_heads, hd)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, na, hd),
+            v_t.reshape(B * area, na, num_heads, hd)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, na, hd),
+        )
+        out = (
+            out.reshape(B * area, num_heads, na, hd)
+            .transpose(0, 2, 1, 3)
+            .reshape(B, H, W, dim)
+        )
+    return conv(p.child("proj"), out + pe, act=False)
+
+
+def ablock(p: _P, x, num_heads: int, area: int):
+    x = x + aattn(p.child("attn"), x, num_heads, area)
+    y = conv(p.child("mlp1"), x)
+    y = conv(p.child("mlp2"), y, act=False)
+    return x + y
+
+
+def a2c2f(p: _P, x, n: int, a2: bool, area: int, residual: bool):
+    c_ = p.params["cv1"]["conv"]["kernel"].shape[-1]
+    num_heads = max(c_ // 32, 1)
+    y = [conv(p.child("cv1"), x)]
+    for i in range(n):
+        if a2:
+            t = ablock(p.child(f"m{i}_0"), y[-1], num_heads, area)
+            t = ablock(p.child(f"m{i}_1"), t, num_heads, area)
+        else:
+            t = c3k(p.child(f"m{i}"), y[-1])
+        y.append(t)
+    out = conv(p.child("cv2"), jnp.concatenate(y, axis=-1))
+    if a2 and residual:
+        gamma = p.params["gamma"]
+        return x + gamma.astype(out.dtype) * out
+    return out
+
+
+def c2psa(p: _P, x, n: int):
+    y = conv(p.child("cv1"), x)
+    c = y.shape[-1] // 2
+    a, b = y[..., :c], y[..., c:]
+    heads = max(c // 64, 1)
+    for i in range(n):
+        blk = p.child(f"m{i}")
+        b = b + _psa_attn(blk.child("attn"), b, heads)
+        f = conv(blk.child("ffn1"), b)
+        f = conv(blk.child("ffn2"), f, act=False)
+        b = b + f
+    return conv(p.child("cv2"), jnp.concatenate([a, b], axis=-1))
+
+
+def _psa_attn(p: _P, x, num_heads: int):
+    from kuzu.ops.flash_attention import xla_attention
+
+    B, H, W, C = x.shape
+    dim = p.params["proj"]["conv"]["kernel"].shape[-1]
+    hd = dim // num_heads
+    kd = int(hd * 0.5)
+    qkv = conv(p.child("qkv"), x, act=False)
+    t = qkv.reshape(B, H * W, num_heads, 2 * kd + hd)
+    q, k, v = t[..., :kd], t[..., kd : 2 * kd], t[..., 2 * kd :]
+
+    def fold(z):
+        return z.transpose(0, 2, 1, 3).reshape(B * num_heads, H * W, -1)
+
+    out = xla_attention(fold(q), fold(k), fold(v), scale=kd**-0.5)
+    out = (
+        out.reshape(B, num_heads, H * W, hd)
+        .transpose(0, 2, 1, 3)
+        .reshape(B, H, W, dim)
+    )
+    pe = conv(p.child("pe"), v.reshape(B, H, W, dim), g=dim, act=False)
+    return conv(p.child("proj"), out + pe, act=False)
+
+
+def sppf(p: _P, x, k: int = 5):
+    y = conv(p.child("cv1"), x)
+    pools = [y]
+    pad = k // 2
+    for _ in range(3):
+        pools.append(
+            lax.reduce_window(
+                pools[-1], -jnp.inf, lax.max, (1, k, k, 1), (1, 1, 1, 1),
+                [(0, 0), (pad, pad), (pad, pad), (0, 0)],
+            )
+        )
+    return conv(p.child("cv2"), jnp.concatenate(pools, axis=-1))
+
+
+def upsample2x(x):
+    b, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    return jnp.broadcast_to(x, (b, h, 2, w, 2, c)).reshape(b, h * 2, w * 2, c)
+
+
+def detect(p: _P, feats: list, nc: int, legacy: bool):
+    outs = []
+    for i, x in enumerate(feats):
+        b = conv(p.child(f"box{i}_0"), x)
+        b = conv(p.child(f"box{i}_1"), b)
+        b = plain_conv(p.params[f"box{i}_2"], b)
+        if legacy:
+            c = conv(p.child(f"cls{i}_0"), x)
+            c = conv(p.child(f"cls{i}_1"), c)
+        else:
+            # DWConv modules nest their Conv under a 'dw' child
+            c = conv(p.child(f"cls{i}_0dw").child("dw"), x, g=x.shape[-1])
+            c = conv(p.child(f"cls{i}_0pw"), c)
+            cch = c.shape[-1]
+            c = conv(p.child(f"cls{i}_1dw").child("dw"), c, g=cch)
+            c = conv(p.child(f"cls{i}_1pw"), c)
+        c = plain_conv(p.params[f"cls{i}_2"], c)
+        outs.append(jnp.concatenate([b, c], axis=-1))
+    return outs
+
+
+def run_graph(spec: Any, variables: dict, images: jnp.ndarray) -> list:
+    """Execute the parsed GraphSpec functionally (inference only).
+
+    ``variables`` is the standard flax dict from ``YoloDetector.init``
+    (params + batch_stats); images are (B, H, W, 3) float32/bf16.
+    """
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    x = images.astype(jnp.bfloat16)
+    outputs: dict[int, jnp.ndarray] = {}
+    cur = x
+    result = None
+    for node in spec.nodes:
+        ins = [cur if f == node.index - 1 else outputs[f] for f in node.frm]
+        m, a = node.module, node.args
+        name = f"n{node.index}_{m}"
+        p = _P(params.get(name, {}), stats.get(name, {}))
+        if m == "Conv":
+            s = a[2] if len(a) > 2 else 1
+            g = a[4] if len(a) > 4 else 1
+            act = a[5] if len(a) > 5 else True
+            cur = conv(p, ins[0], s=s, g=g, act=act)
+        elif m == "DWConv":
+            s = a[2] if len(a) > 2 else 1
+            cur = conv(p.child("dw"), ins[0], s=s, g=ins[0].shape[-1])
+        elif m == "C3k2":
+            cur = c3k2(p, ins[0], n=node.repeats, c3k_flag=a[1])
+        elif m == "C2f":
+            cur = c2f(p, ins[0], n=node.repeats, shortcut=a[1])
+        elif m == "A2C2f":
+            cur = a2c2f(
+                p, ins[0], n=node.repeats, a2=a[1], area=a[2], residual=a[3]
+            )
+        elif m == "C2PSA":
+            cur = c2psa(p, ins[0], n=node.repeats)
+        elif m == "SPPF":
+            cur = sppf(p, ins[0], k=a[1])
+        elif m == "Upsample":
+            cur = upsample2x(ins[0])
+        elif m == "Concat":
+            cur = jnp.concatenate(ins, axis=-1)
+        elif m == "Detect":
+            result = detect(p, ins, nc=spec.nc, legacy=spec.legacy_head)
+            cur = ins[0]
+        else:  # pragma: no cover
+            raise ValueError(f"unknown module '{m}'")
+        if node.index in spec.save:
+            outputs[node.index] = cur
+    assert result is not None
+    return result
