@@ -54,11 +54,13 @@ def bench_detector(model: str = "yolov12x", batch: int = 8, imgsz: int = 640, re
         .astype(np.float32)
     )
 
+    from kuzu.models.yolo.infer import run_graph
+
     # NOTE: variables/imgs must be jit *arguments* — closed-over arrays are
     # baked into the HLO as constants and can exceed compile-request limits
     @jax.jit
     def run(variables, imgs, c):
-        feats = det.module.apply(variables, imgs + c * 1e-30, train=False)
+        feats = run_graph(det.spec, variables, imgs + c * 1e-30)
         pred = det.decode(feats, imgsz=imgsz)
         out = non_max_suppression(pred, conf_thres=0.25, max_det=300)
         return out["scores"].sum() + c

@@ -76,6 +76,21 @@ class YoloDetector:
             variables, images, train=train, mutable=mutable, rngs=rngs
         )
 
+    def infer(self, variables: dict, images: jnp.ndarray):
+        """Inference forward on the fastest available path.
+
+        On TPU: the fused functional executor (BN folded into conv weights,
+        Pallas area attention — ``kuzu.models.yolo.infer.run_graph``), the
+        analogue of the reference's ``BaseModel.fuse()`` inference surgery.
+        Elsewhere: the plain flax apply. Decode+NMS results are
+        bit-comparable between the two (asserted on-chip, PERFORMANCE.md).
+        """
+        if jax.default_backend() == "tpu":
+            from kuzu.models.yolo.infer import run_graph
+
+            return run_graph(self.spec, variables, images)
+        return self.apply(variables, images, train=False)
+
     # ------------------------------------------------------------- helpers
     def feat_shapes(self, imgsz: int) -> list[tuple[int, int]]:
         return [(imgsz // s, imgsz // s) for s in self.strides]

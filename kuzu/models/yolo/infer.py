@@ -161,6 +161,38 @@ def aattn(p: _P, x, num_heads: int, area: int):
 
 
 def ablock(p: _P, x, num_heads: int, area: int):
+    import sys
+
+    import kuzu.ops.flash_attention  # noqa: F401
+    _fa = sys.modules["kuzu.ops.flash_attention"]
+
+    B, H, W, C = x.shape
+    ar = max(area, 1)
+    na = (H * W) // ar
+    hd = C // num_heads
+    # whole-block Pallas kernel: every matmul 128-lane aligned, one HBM
+    # read/write per block (see ops/fused_ablock.py)
+    fused_ok = (
+        C % 128 == 0
+        and hd % 8 == 0
+        and na % 16 == 0
+        and na * na * 4 <= 8 * 2**20
+        and (jax.default_backend() == "tpu" or _fa.INTERPRET)
+    )
+    if fused_ok:
+        from kuzu.ops.fused_ablock import ablock_weights, fused_ablock
+
+        attn_p = p.child("attn")
+        v = conv(attn_p.child("v"), x, act=False)
+        pe = conv(attn_p.child("pe"), v, g=C, act=False)
+        w = ablock_weights(p.params, p.stats)
+        out = fused_ablock(
+            x.reshape(B, H * W, C),
+            v.reshape(B, H * W, C),
+            pe.reshape(B, H * W, C),
+            tuple(w), ar, num_heads, interpret=_fa.INTERPRET,
+        )
+        return out.reshape(B, H, W, C)
     x = x + aattn(p.child("attn"), x, num_heads, area)
     y = conv(p.child("mlp1"), x)
     y = conv(p.child("mlp2"), y, act=False)

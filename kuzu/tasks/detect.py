@@ -138,7 +138,7 @@ class DetectTrainer(BaseTrainer):
         if fwd is None:
 
             def _fwd(variables, images):
-                feats = self.detector.apply(variables, images, train=False)
+                feats = self.detector.infer(variables, images)
                 pred = self.detector.decode(feats, imgsz=self.imgsz)
                 # multi_label: score every class above threshold per anchor,
                 # matching reference val semantics (utils/ops.py:230-260)
@@ -291,7 +291,7 @@ class DetectPredictor:
         # bake into the HLO as constants and can exceed the tunneled
         # remote-compile size limit (see CLAUDE.md).
         def _fwd(variables, images):
-            feats = self.detector.apply(variables, images, train=False)
+            feats = self.detector.infer(variables, images)
             pred = self.detector.decode(feats, imgsz=self.imgsz)
             return non_max_suppression(
                 pred, conf_thres=conf, iou_thres=iou_t, max_det=max_det

@@ -39,7 +39,7 @@ def benchmark_detectors(
             imgs = jnp.zeros((b, imgsz, imgsz, 3), jnp.float32)
 
             def fwd(variables, imgs):
-                feats = det.module.apply(variables, imgs, train=False)
+                feats = det.infer(variables, imgs)
                 pred = det.decode(feats, imgsz=imgsz)
                 if include_nms:
                     return non_max_suppression(pred, conf_thres=0.25, max_det=300)

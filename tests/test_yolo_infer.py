@@ -34,3 +34,55 @@ def test_run_graph_matches_flax(name, rng):
         # and near-exact on the vast majority of entries
         close = np.isclose(r32, o32, atol=0.05, rtol=0.05).mean()
         assert close > 0.999
+
+
+def test_fused_c3k2_kernel_matches_flax(rng):
+    """Pallas fused C3k2 (interpret mode) == flax C3k2 at stem config."""
+    from kuzu.models.yolo import modules as M
+    from kuzu.ops.fused_c3k2 import c3k2_weights, fused_c3k2
+
+    mod = M.C3k2(48, n=2, c3k=True, e=0.25, dtype=jnp.bfloat16)
+    x = jnp.asarray(
+        rng.normal(0, 1, (2, 32, 32, 24)).astype(np.float32),
+        dtype=jnp.bfloat16,
+    )
+    v = mod.init(jax.random.key(0), x, False)
+    ref = np.asarray(mod.apply(v, x, False), np.float32)
+    w = c3k2_weights(v["params"], v["batch_stats"])
+    out = np.asarray(
+        fused_c3k2(x, tuple(w), n=2, interpret=True), np.float32
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=0.08, rtol=0.08)
+    assert np.isclose(out, ref, atol=0.05, rtol=0.05).mean() > 0.999
+
+
+def test_fused_ablock_kernel_matches_flax(rng):
+    """Pallas fused ABlock (interpret) == flax ABlock."""
+    from kuzu.models.yolo import modules as M
+    from kuzu.ops.fused_ablock import ablock_weights, fused_ablock
+
+    mod = M.ABlock(64, num_heads=2, mlp_ratio=1.5, area=4, dtype=jnp.bfloat16)
+    x = jnp.asarray(
+        rng.normal(0, 1, (2, 8, 8, 64)).astype(np.float32),
+        dtype=jnp.bfloat16,
+    )
+    v = mod.init(jax.random.key(0), x, False)
+    ref = np.asarray(mod.apply(v, x, False), np.float32)
+    w = ablock_weights(v["params"], v["batch_stats"])
+    from kuzu.models.yolo.infer import _P, conv
+
+    attn_p = _P(v["params"], v["batch_stats"]).child("attn")
+    vv = conv(attn_p.child("v"), x, act=False)
+    pe = conv(attn_p.child("pe"), vv, g=64, act=False)
+    out = np.asarray(
+        fused_ablock(
+            x.reshape(2, 64, 64),
+            vv.reshape(2, 64, 64),
+            pe.reshape(2, 64, 64),
+            tuple(w), 4, 2, interpret=True,
+        ).reshape(2, 8, 8, 64),
+        np.float32,
+    )
+    np.testing.assert_allclose(out, ref, atol=0.08, rtol=0.08)
+    assert np.isclose(out, ref, atol=0.05, rtol=0.05).mean() > 0.999
