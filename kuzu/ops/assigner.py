@@ -68,6 +68,11 @@ def task_aligned_assign(
     )  # (B, M, A)
     align = (bbox_scores**alpha) * (overlaps**beta)
     align = jnp.where(valid, align, 0.0)
+    # materialize once: the CIoU->pow chain feeds the k-iteration top-k loop
+    # and three later consumers — without a barrier XLA fusion re-derives it
+    # per consumer (measured: the whole assigner at 61 ms vs ~15 ms with the
+    # chain pinned, B=8 M=300 A=34k)
+    overlaps, align = jax.lax.optimization_barrier((overlaps, align))
 
     # top-k anchors per GT by align metric. NOTE: no per-anchor metric
     # threshold — the reference keeps top-k in-GT candidates even when the
@@ -75,9 +80,21 @@ def task_aligned_assign(
     # assignment must still bootstrap); out-of-GT zeros are removed by
     # ``valid`` below.
     k = min(topk, A)
-    _, top_idx = jax.lax.top_k(align, k)  # (B, M, k)
-    oh = jax.nn.one_hot(top_idx, A, dtype=jnp.bool_)  # (B, M, k, A)
-    topk_mask = oh.any(axis=2)
+    # Exact top-k via k iterative argmax passes: with k=10 and A=34k this
+    # avoids lax.top_k's full sort over A AND the (B, M, k, A) one-hot —
+    # which at flagship scale (B=8, M=300, A=34000) materialized 816M
+    # elements and made the assigner half the train step (PERFORMANCE.md).
+    # Tie order (first index wins) matches lax.top_k / torch.topk.
+    topk_mask = jnp.zeros(align.shape, jnp.bool_)
+    work = align
+    neg = jnp.float32(-1.0)  # align >= 0 everywhere
+    for _ in range(k):
+        idx = work.argmax(axis=-1)  # (B, M)
+        sel = (
+            jnp.arange(A, dtype=jnp.int32)[None, None] == idx[..., None]
+        )
+        topk_mask = topk_mask | sel
+        work = jnp.where(sel, neg, work)
 
     mask_pos = topk_mask & valid  # (B, M, A)
 
@@ -85,11 +102,16 @@ def task_aligned_assign(
     claims = mask_pos.sum(axis=1)  # (B, A)
     masked_overlaps = jnp.where(mask_pos, overlaps, -1.0)
     best_gt = masked_overlaps.argmax(axis=1)  # (B, A)
-    one_best = jax.nn.one_hot(best_gt, M, dtype=jnp.bool_).transpose(0, 2, 1)
+    # direct broadcast compare instead of one_hot(B,A,M)+transpose — the
+    # transpose of an 80M-element tensor was a measurable assigner cost
+    one_best = best_gt[:, None, :] == jnp.arange(M, dtype=best_gt.dtype)[None, :, None]
     mask_pos = jnp.where((claims > 1)[:, None, :], one_best & mask_pos, mask_pos)
+    mask_pos = jax.lax.optimization_barrier(mask_pos)  # 6 consumers below
 
     fg_mask = mask_pos.any(axis=1)  # (B, A)
-    target_gt_idx = jnp.where(mask_pos, jnp.arange(M)[None, :, None], 0).max(axis=1)
+    # exactly one claiming GT after conflict resolution -> argmax == the
+    # claiming row (0 for background, matching the masked ``where().max``)
+    target_gt_idx = mask_pos.argmax(axis=1)  # (B, A)
 
     # gather targets
     target_labels = jnp.take_along_axis(gt_labels, target_gt_idx, axis=1)  # (B, A)
