@@ -240,8 +240,12 @@ class AAttn(nn.Module):
         # einsum path materializes (G*H, N, N) f32 scores in HBM and is the
         # forward's single largest cost at detector shapes (PERFORMANCE.md
         # per-node profile: node 6 = 13.1 ms, mostly attention traffic).
-        # Inference-only (the kernel has no VJP); N needs 16-alignment and
-        # an N^2 f32 score tile that fits VMEM; TPU backend only.
+        # N needs 16-alignment and an N^2 f32 score tile that fits VMEM;
+        # TPU backend only. Inference only: under training the einsum path
+        # wins — the custom-vjp wrapper (``area_attention_trainable``,
+        # kernel forward + einsum-recompute backward) measured 378 ms/step
+        # vs 229 with einsum at flagship scale, because remat re-runs the
+        # kernel forward AND the backward re-materializes the scores anyway.
         import sys
 
         import kuzu.ops.flash_attention  # noqa: F401  (module, not the

@@ -187,6 +187,54 @@ def area_attention(
     return out[..., :c] if c_pad else out
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def area_attention_trainable(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_heads: int
+) -> jnp.ndarray:
+    """``area_attention`` with a hand-written VJP so training can use the
+    kernel forward: forward = the Pallas kernel (no HBM score matrix),
+    backward = the standard attention gradient recomputed per head with XLA
+    einsums (S and P are rebuilt from the saved q/k — flash-style
+    recomputation, so nothing big is stored between fwd and bwd)."""
+    return area_attention(q, k, v, num_heads, interpret=INTERPRET)
+
+
+def _aat_fwd(q, k, v, num_heads):
+    return area_attention(q, k, v, num_heads, interpret=INTERPRET), (q, k, v)
+
+
+def _aat_bwd(num_heads, res, g):
+    q, k, v = res
+    gG, n, c = q.shape
+    hd = c // num_heads
+    scale = hd**-0.5
+
+    def heads(t):  # (G, N, C) -> (G, H, N, D)
+        return t.reshape(gG, n, num_heads, hd).transpose(0, 2, 1, 3)
+
+    qh = heads(q).astype(jnp.float32) * scale
+    kh = heads(k).astype(jnp.float32)
+    vh = heads(v).astype(jnp.float32)
+    gh = heads(g).astype(jnp.float32)
+    s = jnp.einsum("ghqd,ghkd->ghqk", qh, kh)
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("ghqk,ghqd->ghkd", p, gh)
+    dp = jnp.einsum("ghqd,ghkd->ghqk", gh, vh)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("ghqk,ghkd->ghqd", ds, kh) * scale
+    dk = jnp.einsum("ghqk,ghqd->ghkd", ds, qh)
+
+    def unheads(t):
+        return (
+            t.transpose(0, 2, 1, 3).reshape(gG, n, c).astype(q.dtype)
+        )
+
+    return unheads(dq), unheads(dk), unheads(dv)
+
+
+area_attention_trainable.defvjp(_aat_fwd, _aat_bwd)
+
+
 def xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                   scale: float | None = None) -> jnp.ndarray:
     """Reference path: materialized softmax(QK^T)V (XLA-fused)."""

@@ -90,8 +90,8 @@ def test_area_attention_matches_xla(rng):
 
 
 def test_aattn_flash_falls_back_in_train_mode(rng):
-    """impl='flash' under train=True must use the differentiable einsum
-    path (the kernel has no VJP) — grads must flow."""
+    """impl='flash' under train=True on CPU falls back to the einsum path
+    (the kernel is TPU-only); grads must flow either way."""
     from kuzu.models.yolo.modules import AAttn
 
     x = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 64)).astype(np.float32))
@@ -108,3 +108,38 @@ def test_aattn_flash_falls_back_in_train_mode(rng):
 
     g = jax.grad(lambda p: loss_t(p))(v)
     assert all(np.isfinite(x_).all() for x_ in jax.tree.leaves(g))
+
+
+def test_area_attention_trainable_grads_match_einsum(rng):
+    """custom-vjp backward == autodiff through the einsum reference."""
+    import sys
+
+    fa = sys.modules["kuzu.ops.flash_attention"]
+    g_, n, heads, hd = 2, 32, 2, 16
+    q, k, v = _qkv(rng, bh=g_, n=n, d=heads * hd)
+
+    def ref_loss(q_, k_, v_):
+        def hsplit(t):
+            return t.reshape(g_, n, heads, hd).transpose(0, 2, 1, 3).reshape(
+                g_ * heads, n, hd
+            )
+
+        out = xla_attention(hsplit(q_), hsplit(k_), hsplit(v_))
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    fa.INTERPRET = True
+    try:
+
+        def ker_loss(q_, k_, v_):
+            out = fa.area_attention_trainable(q_, k_, v_, heads)
+            return (out.astype(jnp.float32) ** 2).sum()
+
+        gk = jax.grad(ker_loss, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        fa.INTERPRET = False
+    gr = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=2e-3, rtol=2e-2,
+        )
