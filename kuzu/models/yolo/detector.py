@@ -111,13 +111,15 @@ class YoloDetector:
         return cat[..., : 4 * REG_MAX], cat[..., 4 * REG_MAX :]
 
     def decode(
-        self, feats: list[jnp.ndarray], imgsz: int | None = None
+        self, feats, imgsz: int | None = None
     ) -> jnp.ndarray:
         """Raw maps -> (B, 4 + nc, A): xywh pixel boxes + sigmoid scores.
 
         Anchor grids derive from the actual per-level map shapes, so
         non-square (rect-batched) inputs decode correctly; ``imgsz`` is
         accepted for API compatibility only."""
+        if isinstance(feats, dict):  # v10 dual head: inference = one2one
+            feats = feats["one2one"]
         box_dist, cls = self.flatten_feats(feats)
         shapes = [(f.shape[1], f.shape[2]) for f in feats]
         anchor_points, stride_t = make_anchors(shapes, self.strides)

@@ -49,6 +49,7 @@ class GraphSpec:
     detect_ch: list[int] = field(default_factory=list)
     strides: list[int] = field(default_factory=list)
     legacy_head: bool = False  # v8-style Detect cls branch
+    end2end: bool = False  # v10 dual head (NMS-free one2one inference)
 
 
 def parse_model_yaml(
@@ -118,6 +119,22 @@ def parse_model_yaml(
                     c2, s_in, n_scaled,
                 )
             )
+        elif mod == "C2fCIB":
+            c2 = make_divisible(min(args[0], max_ch) * width)
+            shortcut = bool(args[1]) if len(args) > 1 else False
+            lk = bool(args[2]) if len(args) > 2 else False
+            nodes.append(
+                NodeSpec(i, frm_abs, mod, [c2, shortcut, lk], c2, s_in, n_scaled)
+            )
+        elif mod == "SCDown":
+            c2 = make_divisible(min(args[0], max_ch) * width)
+            k = int(args[1]) if len(args) > 1 else 3
+            st = int(args[2]) if len(args) > 2 else 2
+            nodes.append(NodeSpec(i, frm_abs, mod, [c2, k, st], c2, s_in * st, 1))
+        elif mod == "PSA":
+            c2 = make_divisible(min(args[0], max_ch) * width)
+            e = float(args[1]) if len(args) > 1 else 0.5
+            nodes.append(NodeSpec(i, frm_abs, mod, [c2, e], c2, s_in, 1))
         elif mod == "C2PSA":
             c2 = make_divisible(min(args[0], max_ch) * width)
             e = float(args[1]) if len(args) > 1 else 0.5
@@ -131,7 +148,7 @@ def parse_model_yaml(
         elif mod == "Concat":
             c2 = sum(ch[f] for f in frm_abs)
             nodes.append(NodeSpec(i, frm_abs, mod, [], c2, s_in, 1))
-        elif mod == "Detect":
+        elif mod in ("Detect", "v10Detect"):
             detect_ch = [ch[f] for f in frm_abs]
             det_strides = [strides[f] for f in frm_abs]
             nodes.append(NodeSpec(i, frm_abs, mod, [nc], 0, s_in, 1))
@@ -141,7 +158,9 @@ def parse_model_yaml(
         ch.append(nodes[-1].c_out)
         strides.append(nodes[-1].stride)
 
-    legacy = not any(n.module in ("C3k2", "A2C2f") for n in nodes)
+    legacy = not any(
+        n.module in ("C3k2", "A2C2f", "v10Detect", "PSA") for n in nodes
+    )
     return GraphSpec(
         nc=nc,
         scale=scale,
@@ -150,6 +169,7 @@ def parse_model_yaml(
         detect_ch=detect_ch,
         strides=det_strides,
         legacy_head=legacy,
+        end2end=any(n.module == "v10Detect" for n in nodes),
     )
 
 
@@ -227,6 +247,19 @@ class YoloGraph(nn.Module):
                 cur = self._block(M.C2PSA)(
                     a[0], n=node.repeats, e=a[1], dtype=self.dtype, name=name
                 )(ins[0], train)
+            elif m == "C2fCIB":
+                cur = self._block(M.C2fCIB)(
+                    a[0], n=node.repeats, shortcut=a[1], lk=a[2],
+                    dtype=self.dtype, name=name,
+                )(ins[0], train)
+            elif m == "SCDown":
+                cur = M.SCDown(a[0], a[1], a[2], dtype=self.dtype, name=name)(
+                    ins[0], train=train
+                )
+            elif m == "PSA":
+                cur = self._block(M.PSA)(
+                    a[0], e=a[1], dtype=self.dtype, name=name
+                )(ins[0], train)
             elif m == "SPPF":
                 cur = M.SPPF(a[0], a[1], dtype=self.dtype, name=name)(
                     ins[0], train=train
@@ -240,6 +273,14 @@ class YoloGraph(nn.Module):
                     nc=self.spec.nc,
                     ch=tuple(self.spec.detect_ch),
                     legacy=self.spec.legacy_head,
+                    dtype=self.dtype,
+                    name=name,
+                )(ins, train=train)
+                cur = ins[0]
+            elif m == "v10Detect":
+                result = M.V10Detect(
+                    nc=self.spec.nc,
+                    ch=tuple(self.spec.detect_ch),
                     dtype=self.dtype,
                     name=name,
                 )(ins, train=train)

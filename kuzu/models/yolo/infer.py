@@ -255,6 +255,50 @@ def _psa_attn(p: _P, x, num_heads: int):
     return conv(p.child("proj"), out + pe, act=False)
 
 
+def scdown(p: _P, x, k: int, s: int):
+    y = conv(p.child("cv1"), x)
+    return conv(p.child("cv2"), y, s=s, g=y.shape[-1], act=False)
+
+
+def repvggdw(p: _P, x):
+    a = conv(p.child("conv"), x, g=x.shape[-1], act=False)
+    b = conv(p.child("conv1"), x, g=x.shape[-1], act=False)
+    return jax.nn.silu(a + b)
+
+
+def cib(p: _P, x, lk: bool, shortcut: bool = True):
+    c1 = x.shape[-1]
+    y = conv(p.child("dw1"), x, g=c1)
+    y = conv(p.child("pw1"), y)
+    if lk:
+        y = repvggdw(p.child("rep"), y)
+    else:
+        y = conv(p.child("dw2"), y, g=y.shape[-1])
+    y = conv(p.child("pw2"), y)
+    y = conv(p.child("dw3"), y, g=y.shape[-1])
+    return x + y if shortcut and c1 == y.shape[-1] else y
+
+
+def c2fcib(p: _P, x, n: int, shortcut: bool, lk: bool):
+    y = conv(p.child("cv1"), x)
+    c = y.shape[-1] // 2
+    parts = [y[..., :c], y[..., c:]]
+    for i in range(n):
+        parts.append(cib(p.child(f"m{i}"), parts[-1], lk, shortcut))
+    return conv(p.child("cv2"), jnp.concatenate(parts, axis=-1))
+
+
+def psa(p: _P, x):
+    y = conv(p.child("cv1"), x)
+    c = y.shape[-1] // 2
+    a, b = y[..., :c], y[..., c:]
+    b = b + _psa_attn(p.child("attn"), b, max(c // 64, 1))
+    f = conv(p.child("ffn1"), b)
+    f = conv(p.child("ffn2"), f, act=False)
+    b = b + f
+    return conv(p.child("cv2"), jnp.concatenate([a, b], axis=-1))
+
+
 def sppf(p: _P, x, k: int = 5):
     y = conv(p.child("cv1"), x)
     pools = [y]
@@ -331,6 +375,12 @@ def run_graph(spec: Any, variables: dict, images: jnp.ndarray) -> list:
             )
         elif m == "C2PSA":
             cur = c2psa(p, ins[0], n=node.repeats)
+        elif m == "C2fCIB":
+            cur = c2fcib(p, ins[0], n=node.repeats, shortcut=a[1], lk=a[2])
+        elif m == "SCDown":
+            cur = scdown(p, ins[0], k=a[1], s=a[2])
+        elif m == "PSA":
+            cur = psa(p, ins[0])
         elif m == "SPPF":
             cur = sppf(p, ins[0], k=a[1])
         elif m == "Upsample":
@@ -339,6 +389,18 @@ def run_graph(spec: Any, variables: dict, images: jnp.ndarray) -> list:
             cur = jnp.concatenate(ins, axis=-1)
         elif m == "Detect":
             result = detect(p, ins, nc=spec.nc, legacy=spec.legacy_head)
+            cur = ins[0]
+        elif m == "v10Detect":
+            # inference consumes only the one2one branch (decode drops
+            # one2many); mirror the flax module's dict contract
+            result = {
+                "one2many": detect(
+                    p.child("one2many"), ins, nc=spec.nc, legacy=False
+                ),
+                "one2one": detect(
+                    p.child("one2one"), ins, nc=spec.nc, legacy=False
+                ),
+            }
             cur = ins[0]
         else:  # pragma: no cover
             raise ValueError(f"unknown module '{m}'")

@@ -351,6 +351,95 @@ class A2C2f(nn.Module):
         return out
 
 
+class SCDown(nn.Module):
+    """Separable-conv downsample: 1x1 pointwise + k-s depthwise
+    (reference ``SCDown``, the v10 stride block)."""
+
+    c2: int
+    k: int = 3
+    s: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        y = Conv(self.c2, 1, dtype=self.dtype, name="cv1")(x, train=train)
+        return Conv(
+            self.c2, self.k, self.s, g=self.c2, act=False,
+            dtype=self.dtype, name="cv2",
+        )(y, train=train)
+
+
+class RepVGGDW(nn.Module):
+    """Parallel 7x7 + 3x3 depthwise convs, summed then SiLU (reference
+    ``RepVGGDW``; the structural-reparam fuse is an inference-time identity
+    we leave to the executor)."""
+
+    ed: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        a = Conv(self.ed, 7, 1, 3, g=self.ed, act=False, dtype=self.dtype,
+                 name="conv")(x, train=train)
+        b = Conv(self.ed, 3, 1, 1, g=self.ed, act=False, dtype=self.dtype,
+                 name="conv1")(x, train=train)
+        return nn.silu(a + b)
+
+
+class CIB(nn.Module):
+    """Conditional identity block (reference ``CIB``): DW-PW-DW-PW-DW chain
+    with optional RepVGGDW middle and residual."""
+
+    c2: int
+    shortcut: bool = True
+    e: float = 0.5
+    lk: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        c1 = x.shape[-1]
+        c_ = int(self.c2 * self.e)
+        y = Conv(c1, 3, g=c1, dtype=self.dtype, name="dw1")(x, train=train)
+        y = Conv(2 * c_, 1, dtype=self.dtype, name="pw1")(y, train=train)
+        if self.lk:
+            y = RepVGGDW(2 * c_, dtype=self.dtype, name="rep")(y, train=train)
+        else:
+            y = Conv(2 * c_, 3, g=2 * c_, dtype=self.dtype, name="dw2")(
+                y, train=train
+            )
+        y = Conv(self.c2, 1, dtype=self.dtype, name="pw2")(y, train=train)
+        y = Conv(self.c2, 3, g=self.c2, dtype=self.dtype, name="dw3")(
+            y, train=train
+        )
+        return x + y if self.shortcut and c1 == self.c2 else y
+
+
+class C2fCIB(nn.Module):
+    """C2f with CIB inner blocks (reference ``C2fCIB``)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    lk: bool = False
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        c = int(self.c2 * self.e)
+        y = Conv(2 * c, 1, dtype=self.dtype, name="cv1")(x, train=train)
+        parts = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            parts.append(
+                CIB(c, self.shortcut, e=1.0, lk=self.lk,
+                    dtype=self.dtype, name=f"m{i}")(parts[-1], train=train)
+            )
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate(parts, axis=-1), train=train
+        )
+
+
 class Attention(nn.Module):
     """PSA multi-head attention over flattened H*W tokens (reference
     ``Attention``, ``block.py:868-923``): 1x1 qkv conv with reduced key dim
@@ -426,6 +515,30 @@ class C2PSA(nn.Module):
             b = PSABlock(
                 c, 0.5, max(c // 64, 1), dtype=self.dtype, name=f"m{i}"
             )(b, train=train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate([a, b], axis=-1), train=train
+        )
+
+
+class PSA(nn.Module):
+    """Position-sensitive attention stage (reference ``PSA``): cv1 split,
+    one residual Attention + residual conv-FFN on the second half, cv2."""
+
+    c2: int
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        c = int(self.c2 * self.e)
+        y = Conv(2 * c, 1, dtype=self.dtype, name="cv1")(x, train=train)
+        a, b = y[..., :c], y[..., c:]
+        b = b + Attention(
+            c, max(c // 64, 1), 0.5, dtype=self.dtype, name="attn"
+        )(b, train=train)
+        f = Conv(c * 2, 1, dtype=self.dtype, name="ffn1")(b, train=train)
+        f = Conv(c, 1, act=False, dtype=self.dtype, name="ffn2")(f, train=train)
+        b = b + f
         return Conv(self.c2, 1, dtype=self.dtype, name="cv2")(
             jnp.concatenate([a, b], axis=-1), train=train
         )
@@ -532,3 +645,33 @@ class Detect(nn.Module):
             )(c)
             outs.append(jnp.concatenate([b, c], axis=-1))
         return outs
+
+
+class V10Detect(nn.Module):
+    """Dual-head detect (reference ``v10Detect`` + ``Detect`` end2end,
+    ``head.py``): structurally identical one2many and one2one branches —
+    the v10 "light" cls head is exactly the non-legacy DW cls branch above.
+    The one2one branch sees stop-gradient features (the reference detaches
+    them in ``forward_end2end``) so only one2many trains the backbone;
+    inference consumes one2one with NMS-free top-k selection
+    (``kuzu.ops.nms.nms_free_select``)."""
+
+    nc: int
+    ch: Sequence[int]
+    reg_max: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, feats: list[jnp.ndarray], train: bool = False
+    ) -> dict[str, list[jnp.ndarray]]:
+        o2m = Detect(
+            self.nc, self.ch, self.reg_max, legacy=False,
+            dtype=self.dtype, name="one2many",
+        )(feats, train=train)
+        detached = [jax.lax.stop_gradient(f) for f in feats]
+        o2o = Detect(
+            self.nc, self.ch, self.reg_max, legacy=False,
+            dtype=self.dtype, name="one2one",
+        )(detached, train=train)
+        return {"one2many": o2m, "one2one": o2o}

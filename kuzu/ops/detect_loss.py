@@ -117,3 +117,33 @@ def detection_loss(
         "num_fg": fg.sum().astype(jnp.float32) / B,
     }
     return total, metrics
+
+
+def e2e_detection_loss(
+    feats: dict,
+    gt_labels: jnp.ndarray,
+    gt_bboxes: jnp.ndarray,
+    mask_gt: jnp.ndarray,
+    nc: int,
+    imgsz: int,
+    strides: tuple[int, ...],
+    box_w: float = 7.5,
+    cls_w: float = 0.5,
+    dfl_w: float = 1.5,
+) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
+    """v10 dual-head loss (reference ``E2EDetectLoss``, ``utils/loss.py``):
+    one2many branch with TAL top-10 + one2one branch with top-1, summed.
+    The one2one head saw stop-gradient features, so only its own params
+    train from the second term — matching the reference's detach."""
+    t_m, m_m = detection_loss(
+        feats["one2many"], gt_labels, gt_bboxes, mask_gt,
+        nc=nc, imgsz=imgsz, strides=strides,
+        box_w=box_w, cls_w=cls_w, dfl_w=dfl_w, topk=10,
+    )
+    t_o, m_o = detection_loss(
+        feats["one2one"], gt_labels, gt_bboxes, mask_gt,
+        nc=nc, imgsz=imgsz, strides=strides,
+        box_w=box_w, cls_w=cls_w, dfl_w=dfl_w, topk=1,
+    )
+    metrics = {k: m_m[k] + m_o[k] for k in m_m}
+    return t_m + t_o, metrics

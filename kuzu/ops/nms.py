@@ -225,3 +225,44 @@ def non_max_suppression(
         agnostic=agnostic,
     )
     return {"boxes": ob, "scores": os_, "classes": oc, "valid": ov}
+
+
+def nms_free_select(
+    prediction: jnp.ndarray,
+    conf_thres: float = 0.25,
+    max_det: int = 300,
+    in_format: str = "xywh",
+) -> dict[str, jnp.ndarray]:
+    """NMS-free selection for the v10 one2one head (reference
+    ``Detect.postprocess``, ``nn/modules/head.py:151``): top ``max_det``
+    anchors by max-class score, then a flattened (anchor, class) top-k over
+    the survivors — no suppression, the one2one assignment already yields
+    one prediction per object. Same padded output contract as
+    ``non_max_suppression``.
+    """
+    import jax
+
+    pred = jnp.transpose(prediction, (0, 2, 1))  # (B, A, 4+nc)
+    boxes = pred[..., :4]
+    if in_format == "xywh":
+        boxes = xywh2xyxy(boxes)
+    scores = pred[..., 4:]  # (B, A, nc)
+    b, a, nc = scores.shape
+    k = min(max_det, a)
+    _, anc_idx = jax.lax.top_k(scores.max(axis=-1), k)  # (B, k)
+    sel_boxes = jnp.take_along_axis(boxes, anc_idx[..., None], axis=1)
+    sel_scores = jnp.take_along_axis(scores, anc_idx[..., None], axis=1)
+    vals, flat_idx = jax.lax.top_k(sel_scores.reshape(b, k * nc), k)
+    out_boxes = jnp.take_along_axis(
+        sel_boxes, (flat_idx // nc)[..., None], axis=1
+    )
+    classes = (flat_idx % nc).astype(jnp.int32)
+    valid = vals > conf_thres
+    if k < max_det:  # pad to the static contract
+        pad = max_det - k
+        out_boxes = jnp.pad(out_boxes, ((0, 0), (0, pad), (0, 0)))
+        vals = jnp.pad(vals, ((0, 0), (0, pad)))
+        classes = jnp.pad(classes, ((0, 0), (0, pad)))
+        valid = jnp.pad(valid, ((0, 0), (0, pad)))
+    return {"boxes": out_boxes, "scores": vals, "classes": classes,
+            "valid": valid}

@@ -23,8 +23,8 @@ from kuzu.core.metrics import DetMetrics
 from kuzu.data.loader import DataLoader
 from kuzu.data.yolo_dataset import YoloDetectionDataset, letterbox_np, load_dataset_yaml
 from kuzu.models.yolo.detector import YoloDetector
-from kuzu.ops.detect_loss import detection_loss
-from kuzu.ops.nms import non_max_suppression
+from kuzu.ops.detect_loss import detection_loss, e2e_detection_loss
+from kuzu.ops.nms import nms_free_select, non_max_suppression
 from kuzu.tasks.base import BaseTrainer
 
 
@@ -113,7 +113,10 @@ class DetectTrainer(BaseTrainer):
         feats, mutated = self.detector.apply(
             variables, batch["image"], train=True, mutable=["batch_stats"]
         )
-        total, metrics = detection_loss(
+        loss = (
+            e2e_detection_loss if self.detector.spec.end2end else detection_loss
+        )
+        total, metrics = loss(
             feats,
             batch["gt_labels"],
             batch["gt_boxes"],
@@ -140,6 +143,10 @@ class DetectTrainer(BaseTrainer):
             def _fwd(variables, images):
                 feats = self.detector.infer(variables, images)
                 pred = self.detector.decode(feats, imgsz=self.imgsz)
+                if self.detector.spec.end2end:  # v10: NMS-free one2one
+                    return nms_free_select(
+                        pred, conf_thres=conf, max_det=max_det
+                    )
                 # multi_label: score every class above threshold per anchor,
                 # matching reference val semantics (utils/ops.py:230-260)
                 return non_max_suppression(
@@ -293,6 +300,8 @@ class DetectPredictor:
         def _fwd(variables, images):
             feats = self.detector.infer(variables, images)
             pred = self.detector.decode(feats, imgsz=self.imgsz)
+            if self.detector.spec.end2end:  # v10: NMS-free one2one
+                return nms_free_select(pred, conf_thres=conf, max_det=max_det)
             return non_max_suppression(
                 pred, conf_thres=conf, iou_thres=iou_t, max_det=max_det
             )

@@ -15,6 +15,9 @@ CASES = [
     ("yolov8n", 80, 3_157_200),
     ("yolo11n", 80, 2_624_080),
     ("yolo11s", 80, 9_458_752),
+    # v10: the dual head shares one DFL conv in the reference, still -16
+    ("yolov10n", 80, 2_775_520),
+    ("yolov10s", 80, 8_128_272),
 ]
 
 
@@ -50,3 +53,64 @@ def test_p2_variant_strides():
 
     det = YoloDetector("yolov12-p2x", nc=1)
     assert det.strides == [4, 8, 16, 32]
+
+
+def test_v10_dual_head_forward_decode_and_nms_free():
+    from kuzu.models.yolo.detector import YoloDetector
+    from kuzu.ops.nms import nms_free_select
+    from kuzu.ops.detect_loss import e2e_detection_loss
+
+    det = YoloDetector("yolov10n", nc=3, imgsz=64)
+    assert det.spec.end2end
+    v = det.init(jax.random.key(0), imgsz=64)
+    feats = det.apply(v, jnp.zeros((2, 64, 64, 3)))
+    assert set(feats) == {"one2many", "one2one"}
+    assert [f.shape for f in feats["one2one"]] == [
+        (2, 8, 8, 67), (2, 4, 4, 67), (2, 2, 2, 67)
+    ]
+    pred = det.decode(feats, imgsz=64)  # uses one2one
+    assert pred.shape == (2, 7, 84)
+    out = nms_free_select(pred, conf_thres=0.0, max_det=10)
+    assert out["boxes"].shape == (2, 10, 4)
+    assert out["valid"].dtype == bool
+
+    # dual loss: finite scalar + grads flow (one2one sees detached feats)
+    import numpy as np
+
+    gt_l = jnp.zeros((2, 4), jnp.int32)
+    gt_b = jnp.asarray(
+        np.tile(np.array([[4.0, 4, 20, 30]], np.float32), (2, 4, 1))
+    )
+    mask = jnp.asarray(np.array([[1, 0, 0, 0]] * 2, bool))
+
+    def loss(params):
+        f = det.apply({**v, "params": params}, jnp.zeros((2, 64, 64, 3)))
+        total, _ = e2e_detection_loss(
+            f, gt_l, gt_b, mask, nc=3, imgsz=64,
+            strides=tuple(det.strides),
+        )
+        return total
+
+    val, grads = jax.value_and_grad(loss)(v["params"])
+    assert bool(jnp.isfinite(val))
+    leaves = jax.tree.leaves(grads)
+    assert all(bool(jnp.isfinite(g).all()) for g in leaves)
+
+
+def test_nms_free_select_picks_top_scores():
+    from kuzu.ops.nms import nms_free_select
+    import numpy as np
+
+    nc, A = 3, 50
+    pred = np.zeros((1, 4 + nc, A), np.float32)
+    pred[0, :4, 7] = [30, 30, 10, 10]
+    pred[0, 4 + 1, 7] = 0.9
+    pred[0, :4, 20] = [10, 10, 6, 6]
+    pred[0, 4 + 2, 20] = 0.6
+    out = nms_free_select(jnp.asarray(pred), conf_thres=0.25, max_det=5)
+    v = np.asarray(out["valid"][0])
+    assert v.sum() == 2
+    assert list(np.asarray(out["classes"][0])[v]) == [1, 2]
+    np.testing.assert_allclose(
+        np.asarray(out["scores"][0])[v], [0.9, 0.6], atol=1e-6
+    )

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-CASES = ["yolov12n", "yolov8n", "yolo11n", "yolov12-p2n"]
+CASES = ["yolov12n", "yolov8n", "yolo11n", "yolov12-p2n", "yolov10n"]
 
 
 @pytest.mark.parametrize("name", CASES)
@@ -23,6 +23,10 @@ def test_run_graph_matches_flax(name, rng):
     x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
     ref = det.apply(v, x, train=False)
     out = run_graph(det.spec, v, x)
+    if isinstance(ref, dict):  # v10 dual head
+        assert set(ref) == set(out) == {"one2many", "one2one"}
+        ref = list(ref["one2many"]) + list(ref["one2one"])
+        out = list(out["one2many"]) + list(out["one2one"])
     assert len(ref) == len(out)
     for r, o in zip(ref, out):
         assert r.shape == o.shape
