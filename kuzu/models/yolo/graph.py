@@ -119,6 +119,21 @@ def parse_model_yaml(
                     c2, s_in, n_scaled,
                 )
             )
+        elif mod == "RepNCSPELAN4":
+            c2 = make_divisible(min(args[0], max_ch) * width)
+            c3 = make_divisible(min(args[1], max_ch) * width)
+            c4 = make_divisible(min(args[2], max_ch) * width)
+            nrep = int(args[3]) if len(args) > 3 else 1
+            nodes.append(
+                NodeSpec(i, frm_abs, mod, [c2, c3, c4, nrep], c2, s_in, 1)
+            )
+        elif mod == "ADown":
+            c2 = make_divisible(min(args[0], max_ch) * width)
+            nodes.append(NodeSpec(i, frm_abs, mod, [c2], c2, s_in * 2, 1))
+        elif mod == "SPPELAN":
+            c2 = make_divisible(min(args[0], max_ch) * width)
+            c3 = make_divisible(min(args[1], max_ch) * width)
+            nodes.append(NodeSpec(i, frm_abs, mod, [c2, c3], c2, s_in, 1))
         elif mod == "C2fCIB":
             c2 = make_divisible(min(args[0], max_ch) * width)
             shortcut = bool(args[1]) if len(args) > 1 else False
@@ -247,6 +262,18 @@ class YoloGraph(nn.Module):
                 cur = self._block(M.C2PSA)(
                     a[0], n=node.repeats, e=a[1], dtype=self.dtype, name=name
                 )(ins[0], train)
+            elif m == "RepNCSPELAN4":
+                cur = self._block(M.RepNCSPELAN4)(
+                    a[0], a[1], a[2], n=a[3], dtype=self.dtype, name=name
+                )(ins[0], train)
+            elif m == "ADown":
+                cur = M.ADown(a[0], dtype=self.dtype, name=name)(
+                    ins[0], train=train
+                )
+            elif m == "SPPELAN":
+                cur = M.SPPELAN(a[0], a[1], dtype=self.dtype, name=name)(
+                    ins[0], train=train
+                )
             elif m == "C2fCIB":
                 cur = self._block(M.C2fCIB)(
                     a[0], n=node.repeats, shortcut=a[1], lk=a[2],

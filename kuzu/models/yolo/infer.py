@@ -255,6 +255,64 @@ def _psa_attn(p: _P, x, num_heads: int):
     return conv(p.child("proj"), out + pe, act=False)
 
 
+def repconv(p: _P, x):
+    a = conv(p.child("conv1"), x, act=False)
+    b = conv(p.child("conv2"), x, act=False)
+    return jax.nn.silu(a + b)
+
+
+def repcsp(p: _P, x, n: int):
+    a = conv(p.child("cv1"), x)
+    for i in range(n):
+        m = p.child(f"m{i}")
+        y = repconv(m.child("cv1"), a)
+        y = conv(m.child("cv2"), y)
+        a = a + y if a.shape[-1] == y.shape[-1] else y
+    b = conv(p.child("cv2"), x)
+    return conv(p.child("cv3"), jnp.concatenate([a, b], axis=-1))
+
+
+def repncspelan4(p: _P, x, n: int):
+    y = conv(p.child("cv1"), x)
+    half = y.shape[-1] // 2
+    parts = [y[..., :half], y[..., half:]]
+    t = repcsp(p.child("cv2_csp"), parts[-1], n)
+    t = conv(p.child("cv2_conv"), t)
+    parts.append(t)
+    t = repcsp(p.child("cv3_csp"), t, n)
+    t = conv(p.child("cv3_conv"), t)
+    parts.append(t)
+    return conv(p.child("cv4"), jnp.concatenate(parts, axis=-1))
+
+
+def adown(p: _P, x):
+    x = lax.reduce_window(
+        x, 0.0, lax.add, (1, 2, 2, 1), (1, 1, 1, 1), "VALID"
+    ) * 0.25
+    c1 = x.shape[-1]
+    x1, x2 = x[..., : c1 // 2], x[..., c1 // 2 :]
+    x1 = conv(p.child("cv1"), x1, s=2)
+    x2 = lax.reduce_window(
+        x2, -jnp.inf, lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    x2 = conv(p.child("cv2"), x2)
+    return jnp.concatenate([x1, x2], axis=-1)
+
+
+def sppelan(p: _P, x, k: int = 5):
+    pad = k // 2
+    y = [conv(p.child("cv1"), x)]
+    for _ in range(3):
+        y.append(
+            lax.reduce_window(
+                y[-1], -jnp.inf, lax.max, (1, k, k, 1), (1, 1, 1, 1),
+                [(0, 0), (pad, pad), (pad, pad), (0, 0)],
+            )
+        )
+    return conv(p.child("cv5"), jnp.concatenate(y, axis=-1))
+
+
 def scdown(p: _P, x, k: int, s: int):
     y = conv(p.child("cv1"), x)
     return conv(p.child("cv2"), y, s=s, g=y.shape[-1], act=False)
@@ -377,6 +435,12 @@ def run_graph(spec: Any, variables: dict, images: jnp.ndarray) -> list:
             cur = c2psa(p, ins[0], n=node.repeats)
         elif m == "C2fCIB":
             cur = c2fcib(p, ins[0], n=node.repeats, shortcut=a[1], lk=a[2])
+        elif m == "RepNCSPELAN4":
+            cur = repncspelan4(p, ins[0], n=a[3])
+        elif m == "ADown":
+            cur = adown(p, ins[0])
+        elif m == "SPPELAN":
+            cur = sppelan(p, ins[0])
         elif m == "SCDown":
             cur = scdown(p, ins[0], k=a[1], s=a[2])
         elif m == "PSA":

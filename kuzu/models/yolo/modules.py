@@ -520,6 +520,140 @@ class C2PSA(nn.Module):
         )
 
 
+class RepConv(nn.Module):
+    """Structural-reparam conv (reference ``RepConv``, ``conv.py``): parallel
+    3x3 + 1x1 convs (each with BN), summed, SiLU. The deploy-time fuse into
+    one 3x3 is an inference identity left to the executor."""
+
+    c2: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        a = Conv(self.c2, 3, 1, 1, act=False, dtype=self.dtype, name="conv1")(
+            x, train=train
+        )
+        b = Conv(self.c2, 1, 1, 0, act=False, dtype=self.dtype, name="conv2")(
+            x, train=train
+        )
+        return nn.silu(a + b)
+
+
+class RepBottleneck(nn.Module):
+    """Bottleneck with a RepConv first conv (reference ``RepBottleneck``)."""
+
+    c2: int
+    shortcut: bool = True
+    e: float = 1.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        c_ = int(self.c2 * self.e)
+        y = RepConv(c_, dtype=self.dtype, name="cv1")(x, train=train)
+        y = Conv(self.c2, 3, dtype=self.dtype, name="cv2")(y, train=train)
+        return x + y if self.shortcut and x.shape[-1] == self.c2 else y
+
+
+class RepCSP(nn.Module):
+    """C3 with RepBottleneck inner blocks (reference ``RepCSP``)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    e: float = 0.5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        c_ = int(self.c2 * self.e)
+        a = Conv(c_, 1, dtype=self.dtype, name="cv1")(x, train=train)
+        for i in range(self.n):
+            a = RepBottleneck(
+                c_, self.shortcut, e=1.0, dtype=self.dtype, name=f"m{i}"
+            )(a, train=train)
+        b = Conv(c_, 1, dtype=self.dtype, name="cv2")(x, train=train)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv3")(
+            jnp.concatenate([a, b], axis=-1), train=train
+        )
+
+
+class RepNCSPELAN4(nn.Module):
+    """CSP-ELAN stage (reference ``RepNCSPELAN4``, the v9 workhorse):
+    cv1 split, two chained RepCSP+Conv branches, 1x1 merge."""
+
+    c2: int
+    c3: int
+    c4: int
+    n: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        y = Conv(self.c3, 1, dtype=self.dtype, name="cv1")(x, train=train)
+        half = self.c3 // 2
+        parts = [y[..., :half], y[..., half:]]
+        t = RepCSP(self.c4, self.n, dtype=self.dtype, name="cv2_csp")(
+            parts[-1], train=train
+        )
+        t = Conv(self.c4, 3, dtype=self.dtype, name="cv2_conv")(t, train=train)
+        parts.append(t)
+        t = RepCSP(self.c4, self.n, dtype=self.dtype, name="cv3_csp")(
+            t, train=train
+        )
+        t = Conv(self.c4, 3, dtype=self.dtype, name="cv3_conv")(t, train=train)
+        parts.append(t)
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv4")(
+            jnp.concatenate(parts, axis=-1), train=train
+        )
+
+
+class ADown(nn.Module):
+    """v9 downsample (reference ``ADown``): 2x2/stride-1 avg pool, channel
+    split, strided 3x3 conv on one half, maxpool+1x1 on the other."""
+
+    c2: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.avg_pool(x, (2, 2), strides=(1, 1), padding="VALID")
+        c1 = x.shape[-1]
+        half = self.c2 // 2
+        x1, x2 = x[..., : c1 // 2], x[..., c1 // 2 :]
+        x1 = Conv(half, 3, 2, 1, dtype=self.dtype, name="cv1")(x1, train=train)
+        x2 = nn.max_pool(
+            x2, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+        )
+        x2 = Conv(half, 1, 1, 0, dtype=self.dtype, name="cv2")(x2, train=train)
+        return jnp.concatenate([x1, x2], axis=-1)
+
+
+class SPPELAN(nn.Module):
+    """SPP-ELAN (reference ``SPPELAN``): 1x1 + three chained k5 maxpools,
+    concat, 1x1 merge."""
+
+    c2: int
+    c3: int
+    k: int = 5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        p = self.k // 2
+        y = [Conv(self.c3, 1, dtype=self.dtype, name="cv1")(x, train=train)]
+        for _ in range(3):
+            y.append(
+                nn.max_pool(
+                    y[-1], (self.k, self.k), strides=(1, 1),
+                    padding=[(p, p), (p, p)],
+                )
+            )
+        return Conv(self.c2, 1, dtype=self.dtype, name="cv5")(
+            jnp.concatenate(y, axis=-1), train=train
+        )
+
+
 class PSA(nn.Module):
     """Position-sensitive attention stage (reference ``PSA``): cv1 split,
     one residual Attention + residual conv-FFN on the second half, cv2."""

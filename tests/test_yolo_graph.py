@@ -18,6 +18,7 @@ CASES = [
     # v10: the dual head shares one DFL conv in the reference, still -16
     ("yolov10n", 80, 2_775_520),
     ("yolov10s", 80, 8_128_272),
+    ("yolov9c", 80, 25_590_912),
 ]
 
 

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-CASES = ["yolov12n", "yolov8n", "yolo11n", "yolov12-p2n", "yolov10n"]
+CASES = ["yolov12n", "yolov8n", "yolo11n", "yolov12-p2n", "yolov10n", "yolov9c"]
 
 
 @pytest.mark.parametrize("name", CASES)
