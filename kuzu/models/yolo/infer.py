@@ -54,14 +54,33 @@ class _P:
 
 
 def conv(p: _P, x, s: int = 1, g: int = 1, act: bool = True, k: int | None = None):
-    """Conv + folded-BN + SiLU (the ``modules.Conv`` trio)."""
+    """Conv + folded-BN + SiLU (the ``modules.Conv`` trio).
+
+    Grouped (non-depthwise) convs run as g independent convs + concat:
+    XLA's feature_group_count lowering measured 1.6x slower than the split
+    at the v12 stem's g=4 shapes (PERFORMANCE.md round-2 notes)."""
     w, b = _fold_bn(p.params["conv"], p.params["bn"], p.stats["bn"])
     kh = w.shape[0] if k is None else k
     pad = kh // 2
-    y = lax.conv_general_dilated(
-        x, w, (s, s), [(pad, pad), (pad, pad)],
-        dimension_numbers=DN, feature_group_count=g,
-    )
+    cin = x.shape[-1]
+    if 1 < g < cin:
+        cg, og = cin // g, w.shape[-1] // g
+        y = jnp.concatenate(
+            [
+                lax.conv_general_dilated(
+                    x[..., gi * cg : (gi + 1) * cg],
+                    w[..., gi * og : (gi + 1) * og],
+                    (s, s), [(pad, pad), (pad, pad)], dimension_numbers=DN,
+                )
+                for gi in range(g)
+            ],
+            axis=-1,
+        )
+    else:
+        y = lax.conv_general_dilated(
+            x, w, (s, s), [(pad, pad), (pad, pad)],
+            dimension_numbers=DN, feature_group_count=g,
+        )
     y = y + b.astype(y.dtype)
     return jax.nn.silu(y) if act else y
 
