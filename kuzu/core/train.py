@@ -166,49 +166,25 @@ def make_train_step(
 
         grad_fn_ms = jax.value_and_grad(_plain, has_aux=True)
 
-        def step_fn(state: TrainState, batch: Any, rng: jax.Array):
-            (loss, (metrics, new_model_state)), grads = grad_fn_ms(
-                state.params, batch, rng, state.model_state
+        def micro_grad(params, model_state, mb, r):
+            (loss, (metrics, new_state)), grads = grad_fn_ms(
+                params, mb, r, model_state
             )
-            updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
-            new_step = state.step + 1
-            if state.ema_params is not None:
-                d = ema_decay_at(new_step, ema_decay, ema_tau)
-                ema_params = ema_update(state.ema_params, params, d)
-            else:
-                ema_params = None
-            metrics = dict(metrics)
-            metrics["loss"] = loss
-            metrics["grad_norm"] = optax.global_norm(grads)
-            return (
-                TrainState(
-                    step=new_step,
-                    params=params,
-                    opt_state=opt_state,
-                    ema_params=ema_params,
-                    model_state=new_model_state,
-                ),
-                metrics,
-            )
+            return loss, metrics, new_state, grads
 
-        if mesh is not None:
-            repl = NamedSharding(mesh, P())
-            data_sh = NamedSharding(mesh, P("data"))
-            st_sh = state_sharding if state_sharding is not None else repl
-            return jax.jit(
-                step_fn,
-                in_shardings=(st_sh, data_sh, repl),
-                out_shardings=(st_sh, repl),
-                donate_argnums=(0,) if donate else (),
-            )
-        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    else:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        def micro_grad(params, model_state, mb, r):
+            (loss, metrics), grads = grad_fn(params, mb, r)
+            return loss, metrics, model_state, grads
 
     def step_fn(state: TrainState, batch: Any, rng: jax.Array):
         if accumulate > 1:
-            # batch leading axis folds into (accumulate, micro, ...)
+            # batch leading axis folds into (accumulate, micro, ...); the
+            # mutable collections (BatchNorm running stats) thread through
+            # the scan carry so every micro-batch's EMA update lands, same
+            # as `accumulate` sequential small batches would
             def fold(x):
                 return x.reshape((accumulate, x.shape[0] // accumulate) + x.shape[1:])
 
@@ -216,20 +192,22 @@ def make_train_step(
             rngs = jax.random.split(rng, accumulate)
 
             def scan_body(carry, xs):
-                g_acc, loss_acc, metrics_acc = carry
+                g_acc, loss_acc, metrics_acc, ms = carry
                 mb, r = xs
-                (loss, metrics), grads = grad_fn(state.params, mb, r)
+                loss, metrics, ms, grads = micro_grad(state.params, ms, mb, r)
                 g_acc = jax.tree.map(jnp.add, g_acc, grads)
                 metrics_acc = jax.tree.map(jnp.add, metrics_acc, metrics)
-                return (g_acc, loss_acc + loss, metrics_acc), None
+                return (g_acc, loss_acc + loss, metrics_acc, ms), None
 
-            zeros_like = lambda t: jax.tree.map(jnp.zeros_like, t)
-            (loss0, m0), g0 = grad_fn(
-                state.params, jax.tree.map(lambda x: x[0], micro), rngs[0]
+            loss0, m0, ms0, g0 = micro_grad(
+                state.params,
+                state.model_state,
+                jax.tree.map(lambda x: x[0], micro),
+                rngs[0],
             )
-            (grads, loss, metrics), _ = jax.lax.scan(
+            (grads, loss, metrics, new_model_state), _ = jax.lax.scan(
                 scan_body,
-                (g0, loss0, m0),
+                (g0, loss0, m0, ms0),
                 (jax.tree.map(lambda x: x[1:], micro), rngs[1:]),
             )
             inv = 1.0 / accumulate
@@ -237,7 +215,9 @@ def make_train_step(
             loss = loss * inv
             metrics = jax.tree.map(lambda m: m * inv, metrics)
         else:
-            (loss, metrics), grads = grad_fn(state.params, batch, rng)
+            loss, metrics, new_model_state, grads = micro_grad(
+                state.params, state.model_state, batch, rng
+            )
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -252,7 +232,11 @@ def make_train_step(
         metrics["grad_norm"] = optax.global_norm(grads)
         return (
             TrainState(
-                step=new_step, params=params, opt_state=opt_state, ema_params=ema_params
+                step=new_step,
+                params=params,
+                opt_state=opt_state,
+                ema_params=ema_params,
+                model_state=new_model_state,
             ),
             metrics,
         )

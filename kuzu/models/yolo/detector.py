@@ -82,8 +82,10 @@ class YoloDetector:
         On TPU: the fused functional executor (BN folded into conv weights,
         Pallas area attention — ``kuzu.models.yolo.infer.run_graph``), the
         analogue of the reference's ``BaseModel.fuse()`` inference surgery.
-        Elsewhere: the plain flax apply. Decode+NMS results are
-        bit-comparable between the two (asserted on-chip, PERFORMANCE.md).
+        Elsewhere: the plain flax apply. The two paths are keep-set equal
+        after decode+NMS (asserted on-chip, PERFORMANCE.md); raw maps agree
+        to bf16 rounding only, since BN folding reassociates conv(x,w)*s
+        into conv(x, w*s).
         """
         if jax.default_backend() == "tpu":
             from kuzu.models.yolo.infer import run_graph

@@ -131,7 +131,7 @@ def c2f(p: _P, x, n: int, shortcut: bool = False):
     return conv(p.child("cv2"), jnp.concatenate(parts, axis=-1))
 
 
-def aattn(p: _P, x, num_heads: int, area: int):
+def aattn(p: _P, x, num_heads: int, area: int, interpret: bool = False):
     """Area attention via the fused Pallas kernel (falls back to einsum on
     shapes the kernel can't take — mirrors ``modules.AAttn``)."""
     import sys
@@ -153,11 +153,11 @@ def aattn(p: _P, x, num_heads: int, area: int):
     kernel_ok = (
         na % 16 == 0
         and na * na * 4 <= 8 * 2**20
-        and (jax.default_backend() == "tpu" or _fa.INTERPRET)
+        and (jax.default_backend() == "tpu" or interpret)
     )
     if kernel_ok:
         out = _fa.area_attention(
-            q, k, v_t, num_heads, interpret=_fa.INTERPRET
+            q, k, v_t, num_heads, interpret=interpret
         ).reshape(B, H, W, dim)
     else:
         out = _fa.xla_attention(
@@ -179,12 +179,7 @@ def aattn(p: _P, x, num_heads: int, area: int):
     return conv(p.child("proj"), out + pe, act=False)
 
 
-def ablock(p: _P, x, num_heads: int, area: int):
-    import sys
-
-    import kuzu.ops.flash_attention  # noqa: F401
-    _fa = sys.modules["kuzu.ops.flash_attention"]
-
+def ablock(p: _P, x, num_heads: int, area: int, interpret: bool = False):
     B, H, W, C = x.shape
     ar = max(area, 1)
     na = (H * W) // ar
@@ -196,7 +191,7 @@ def ablock(p: _P, x, num_heads: int, area: int):
         and hd % 8 == 0
         and na % 16 == 0
         and na * na * 4 <= 8 * 2**20
-        and (jax.default_backend() == "tpu" or _fa.INTERPRET)
+        and (jax.default_backend() == "tpu" or interpret)
     )
     if fused_ok:
         from kuzu.ops.fused_ablock import ablock_weights, fused_ablock
@@ -209,23 +204,24 @@ def ablock(p: _P, x, num_heads: int, area: int):
             x.reshape(B, H * W, C),
             v.reshape(B, H * W, C),
             pe.reshape(B, H * W, C),
-            tuple(w), ar, num_heads, interpret=_fa.INTERPRET,
+            tuple(w), ar, num_heads, interpret=interpret,
         )
         return out.reshape(B, H, W, C)
-    x = x + aattn(p.child("attn"), x, num_heads, area)
+    x = x + aattn(p.child("attn"), x, num_heads, area, interpret)
     y = conv(p.child("mlp1"), x)
     y = conv(p.child("mlp2"), y, act=False)
     return x + y
 
 
-def a2c2f(p: _P, x, n: int, a2: bool, area: int, residual: bool):
+def a2c2f(p: _P, x, n: int, a2: bool, area: int, residual: bool,
+          interpret: bool = False):
     c_ = p.params["cv1"]["conv"]["kernel"].shape[-1]
     num_heads = max(c_ // 32, 1)
     y = [conv(p.child("cv1"), x)]
     for i in range(n):
         if a2:
-            t = ablock(p.child(f"m{i}_0"), y[-1], num_heads, area)
-            t = ablock(p.child(f"m{i}_1"), t, num_heads, area)
+            t = ablock(p.child(f"m{i}_0"), y[-1], num_heads, area, interpret)
+            t = ablock(p.child(f"m{i}_1"), t, num_heads, area, interpret)
         else:
             t = c3k(p.child(f"m{i}"), y[-1])
         y.append(t)
@@ -417,11 +413,16 @@ def detect(p: _P, feats: list, nc: int, legacy: bool):
     return outs
 
 
-def run_graph(spec: Any, variables: dict, images: jnp.ndarray) -> list:
+def run_graph(
+    spec: Any, variables: dict, images: jnp.ndarray, interpret: bool = False
+) -> list:
     """Execute the parsed GraphSpec functionally (inference only).
 
     ``variables`` is the standard flax dict from ``YoloDetector.init``
     (params + batch_stats); images are (B, H, W, 3) float32/bf16.
+    ``interpret=True`` runs the Pallas kernels in interpret mode (CPU
+    testing) — explicit here because this function is traced under the
+    caller's jit, so a mutable global would be silently cached.
     """
     params = variables["params"]
     stats = variables.get("batch_stats", {})
@@ -448,7 +449,8 @@ def run_graph(spec: Any, variables: dict, images: jnp.ndarray) -> list:
             cur = c2f(p, ins[0], n=node.repeats, shortcut=a[1])
         elif m == "A2C2f":
             cur = a2c2f(
-                p, ins[0], n=node.repeats, a2=a[1], area=a[2], residual=a[3]
+                p, ins[0], n=node.repeats, a2=a[1], area=a[2], residual=a[3],
+                interpret=interpret,
             )
         elif m == "C2PSA":
             cur = c2psa(p, ins[0], n=node.repeats)

@@ -241,26 +241,30 @@ class AAttn(nn.Module):
         # forward's single largest cost at detector shapes (PERFORMANCE.md
         # per-node profile: node 6 = 13.1 ms, mostly attention traffic).
         # N needs 16-alignment and an N^2 f32 score tile that fits VMEM;
-        # TPU backend only. Inference only: under training the einsum path
-        # wins — the custom-vjp wrapper (``area_attention_trainable``,
-        # kernel forward + einsum-recompute backward) measured 378 ms/step
-        # vs 229 with einsum at flagship scale, because remat re-runs the
-        # kernel forward AND the backward re-materializes the scores anyway.
+        # TPU backend only ('flash_interpret' runs the same kernels in
+        # Pallas interpret mode on CPU — an explicit module attribute, not
+        # a mutable global read at trace time). The path goes through the
+        # custom-vjp wrapper, so differentiating an eval-mode apply (e.g.
+        # distillation) hits the flash backward kernel instead of a Pallas
+        # AD error. 'flash_train' additionally keeps the kernels in the
+        # train graph (kernel fwd + VMEM flash bwd); plain 'flash' trains
+        # with einsum, the round-2 default.
         import sys
 
         import kuzu.ops.flash_attention  # noqa: F401  (module, not the
         # re-exported function of the same name in kuzu.ops)
         _fa = sys.modules["kuzu.ops.flash_attention"]
 
+        interp = self.impl == "flash_interpret"
         flash_ok = (
-            not train
+            (not train or self.impl == "flash_train")
             and na % 16 == 0
             and na * na * 4 <= 8 * 2**20
-            and (jax.default_backend() == "tpu" or _fa.INTERPRET)
+            and (jax.default_backend() == "tpu" or interp)
         )
-        if self.impl == "flash" and flash_ok:
-            out = _fa.area_attention(
-                q, k, v_t, self.num_heads, interpret=_fa.INTERPRET
+        if self.impl in ("flash", "flash_train", "flash_interpret") and flash_ok:
+            out = _fa.area_attention_trainable(
+                q, k, v_t, self.num_heads, interp
             ).reshape(B, H, W, self.dim)
         elif self.impl == "dpa":
             qh, kh, vh = heads(q), heads(k), heads(v_t)

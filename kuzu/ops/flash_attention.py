@@ -26,9 +26,10 @@ BLOCK_Q = 128
 BLOCK_K = 128
 NEG_INF = -1e30
 
-# tests flip this to run the kernels in interpret mode on the CPU backend;
-# callers gate kernel dispatch on `default_backend()=='tpu' or INTERPRET`
-INTERPRET = False
+# Interpret mode (running the kernels on the CPU backend) is an explicit
+# argument everywhere: modules select it via ``impl='flash_interpret'`` and
+# the functional executor via ``run_graph(..., interpret=True)``. A mutable
+# module-global would be read at trace time and silently cached by jit.
 
 
 def _flash_kernel(
@@ -187,49 +188,122 @@ def area_attention(
     return out[..., :c] if c_pad else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def area_attention_trainable(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_heads: int
-) -> jnp.ndarray:
-    """``area_attention`` with a hand-written VJP so training can use the
-    kernel forward: forward = the Pallas kernel (no HBM score matrix),
-    backward = the standard attention gradient recomputed per head with XLA
-    einsums (S and P are rebuilt from the saved q/k — flash-style
-    recomputation, so nothing big is stored between fwd and bwd)."""
-    return area_attention(q, k, v, num_heads, interpret=INTERPRET)
+def _area_attn_bwd_kernel(
+    q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale, num_heads, hd
+):
+    """Flash backward: grid (G,), everything for one group stays in VMEM.
 
+    Per head the (N, N) score matrix S and softmax P are *recomputed* from
+    q/k (flash-style recomputation — nothing quadratic is saved between
+    forward and backward, and nothing quadratic ever reaches HBM; the
+    previous einsum backward materialized (G·H, N, N) f32 S/P/dP tensors in
+    HBM and made the kernel-forward variant a net loss under remat).
 
-def _aat_fwd(q, k, v, num_heads):
-    return area_attention(q, k, v, num_heads, interpret=INTERPRET), (q, k, v)
-
-
-def _aat_bwd(num_heads, res, g):
-    q, k, v = res
-    gG, n, c = q.shape
-    hd = c // num_heads
-    scale = hd**-0.5
-
-    def heads(t):  # (G, N, C) -> (G, H, N, D)
-        return t.reshape(gG, n, num_heads, hd).transpose(0, 2, 1, 3)
-
-    qh = heads(q).astype(jnp.float32) * scale
-    kh = heads(k).astype(jnp.float32)
-    vh = heads(v).astype(jnp.float32)
-    gh = heads(g).astype(jnp.float32)
-    s = jnp.einsum("ghqd,ghkd->ghqk", qh, kh)
-    p = jax.nn.softmax(s, axis=-1)
-    dv = jnp.einsum("ghqk,ghqd->ghkd", p, gh)
-    dp = jnp.einsum("ghqd,ghkd->ghqk", gh, vh)
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("ghqk,ghkd->ghqd", ds, kh) * scale
-    dk = jnp.einsum("ghqk,ghqd->ghkd", ds, qh)
-
-    def unheads(t):
-        return (
-            t.transpose(0, 2, 1, 3).reshape(gG, n, c).astype(q.dtype)
+      dV = Pᵀ·dO,  dP = dO·Vᵀ,  dS = P ∘ (dP − rowsum(dP ∘ P)),
+      dQ = scale·dS·K,  dK = dSᵀ·(scale·Q)
+    """
+    q = q_ref[0].astype(jnp.float32) * scale  # (N, C), pre-scaled
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    for h in range(num_heads):
+        lo = h * hd
+        qh, kh, vh, doh = (
+            q[:, lo : lo + hd],
+            k[:, lo : lo + hd],
+            v[:, lo : lo + hd],
+            do[:, lo : lo + hd],
         )
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (N, N)
+        p = jnp.exp(s - s.max(axis=-1, keepdims=True))
+        p = p / p.sum(axis=-1, keepdims=True)
+        dv = jax.lax.dot_general(
+            p, doh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # Pᵀ·dO (N, hd)
+        dp = jax.lax.dot_general(
+            doh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # dO·Vᵀ (N, N)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = (
+            jax.lax.dot_general(
+                ds, kh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        dk = jax.lax.dot_general(
+            ds, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # dSᵀ·(scale·Q)
+        dq_ref[0, :, lo : lo + hd] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, lo : lo + hd] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, lo : lo + hd] = dv.astype(dv_ref.dtype)
 
-    return unheads(dq), unheads(dk), unheads(dv)
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "interpret")
+)
+def area_attention_bwd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    do: jnp.ndarray,
+    num_heads: int,
+    scale: float | None = None,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(dq, dk, dv) for ``area_attention`` — one VMEM-resident Pallas pass."""
+    g, n, c = q.shape
+    hd = c // num_heads
+    assert n % 16 == 0 and n * n * 4 <= 8 * 2**20, f"N={n} out of kernel range"
+    if scale is None:
+        scale = 1.0 / (hd**0.5)
+    c_pad = (-c) % 128
+    if c_pad:
+        pad = ((0, 0), (0, 0), (0, c_pad))
+        q, k, v, do = (jnp.pad(t, pad) for t in (q, k, v, do))
+    cp = q.shape[-1]
+    spec = pl.BlockSpec((1, n, cp), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((g, n, cp), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _area_attn_bwd_kernel, scale=scale, num_heads=num_heads, hd=hd
+        ),
+        grid=(g,),
+        in_specs=[spec] * 4,
+        out_specs=[spec] * 3,
+        out_shape=[shape] * 3,
+        interpret=interpret,
+    )(q, k, v, do)
+    if c_pad:
+        dq, dk, dv = dq[..., :c], dk[..., :c], dv[..., :c]
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def area_attention_trainable(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``area_attention`` with a hand-written VJP: forward = the Pallas
+    kernel (no HBM score matrix), backward = the flash backward kernel
+    (``area_attention_bwd`` — S and P recomputed per head in VMEM, so the
+    quadratic intermediates never touch HBM in either direction). Only
+    (q, k, v) are saved between forward and backward."""
+    return area_attention(q, k, v, num_heads, interpret=interpret)
+
+
+def _aat_fwd(q, k, v, num_heads, interpret):
+    return area_attention(q, k, v, num_heads, interpret=interpret), (q, k, v)
+
+
+def _aat_bwd(num_heads, interpret, res, g):
+    q, k, v = res
+    return area_attention_bwd(q, k, v, g, num_heads, interpret=interpret)
 
 
 area_attention_trainable.defvjp(_aat_fwd, _aat_bwd)

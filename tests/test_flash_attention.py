@@ -51,16 +51,9 @@ def test_aattn_flash_matches_einsum(rng):
     me = AAttn(64, num_heads=2, area=4, impl="einsum")
     v = me.init(jax.random.key(0), x)
     out_e = me.apply(v, x)
-    # interpret-mode kernel on CPU (impl='flash' routes through pallas)
-    import sys
-
-    fa = sys.modules["kuzu.ops.flash_attention"]
-    fa.INTERPRET = True  # run the kernel in interpret mode on CPU
-    try:
-        mf = AAttn(64, num_heads=2, area=4, impl="flash")
-        out_f = mf.apply(v, x)
-    finally:
-        fa.INTERPRET = False
+    # interpret-mode kernel on CPU (explicit impl value, no global flag)
+    mf = AAttn(64, num_heads=2, area=4, impl="flash_interpret")
+    out_f = mf.apply(v, x)
     np.testing.assert_allclose(
         np.asarray(out_e), np.asarray(out_f), atol=2e-4
     )
@@ -127,18 +120,65 @@ def test_area_attention_trainable_grads_match_einsum(rng):
         out = xla_attention(hsplit(q_), hsplit(k_), hsplit(v_))
         return (out.astype(jnp.float32) ** 2).sum()
 
-    fa.INTERPRET = True
-    try:
+    def ker_loss(q_, k_, v_):
+        out = fa.area_attention_trainable(q_, k_, v_, heads, True)
+        return (out.astype(jnp.float32) ** 2).sum()
 
-        def ker_loss(q_, k_, v_):
-            out = fa.area_attention_trainable(q_, k_, v_, heads)
-            return (out.astype(jnp.float32) ** 2).sum()
-
-        gk = jax.grad(ker_loss, argnums=(0, 1, 2))(q, k, v)
-    finally:
-        fa.INTERPRET = False
+    gk = jax.grad(ker_loss, argnums=(0, 1, 2))(q, k, v)
     gr = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gk, gr):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=2e-3, rtol=2e-2,
+        )
+
+
+def test_eval_mode_flash_is_differentiable(rng):
+    """Gradients through apply(train=False) with the flash path must flow
+    (distillation / input-gradient use): the custom-vjp wrapper routes the
+    backward into the VMEM flash-backward kernel instead of a Pallas AD
+    error (round-2 ADVICE)."""
+    from kuzu.models.yolo.modules import AAttn
+
+    x = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 64)).astype(np.float32))
+    m = AAttn(64, num_heads=2, area=4, impl="flash_interpret")
+    v = m.init(jax.random.key(0), x)
+
+    def loss(p, x_):
+        return (m.apply(p, x_, train=False) ** 2).sum()
+
+    gp = jax.grad(loss)(v, x)
+    gx = jax.grad(loss, argnums=1)(v, x)
+    assert all(np.isfinite(np.asarray(t)).all() for t in jax.tree.leaves(gp))
+    assert np.isfinite(np.asarray(gx)).all() and np.abs(np.asarray(gx)).max() > 0
+
+
+def test_flash_bwd_kernel_matches_autodiff(rng):
+    """area_attention_bwd (Pallas, interpret) == autodiff through einsum."""
+    import sys
+
+    fa = sys.modules["kuzu.ops.flash_attention"]
+    g_, n, heads, hd = 2, 48, 3, 32
+    q, k, v = _qkv(rng, bh=g_, n=n, d=heads * hd)
+    do = jnp.asarray(
+        np.random.default_rng(7).normal(0, 1, q.shape).astype(np.float32)
+    )
+
+    def ref(q_, k_, v_):
+        def hsplit(t):
+            return t.reshape(g_, n, heads, hd).transpose(0, 2, 1, 3).reshape(
+                g_ * heads, n, hd
+            )
+
+        out = xla_attention(hsplit(q_), hsplit(k_), hsplit(v_))
+        return (
+            out.reshape(g_, heads, n, hd).transpose(0, 2, 1, 3).reshape(g_, n, -1)
+        )
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    want = vjp(do)
+    got = fa.area_attention_bwd(q, k, v, do, heads, interpret=True)
+    for a, b in zip(got, want):
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             atol=2e-3, rtol=2e-2,
