@@ -118,9 +118,23 @@ def export_tf(
 
     out_path = Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)
-    tf_fn = jax2tf.convert(
-        jax.jit(fn), native_serialization_platforms=(platform,)
-    )
+    if fmt == "tflite":
+        # the TFLite converter cannot legalize every StableHLO op that
+        # native serialization embeds (e.g. the variadic mhlo.reduce that
+        # argmax lowers to, kuzu/ops/nms.py decode) — lower through the
+        # legacy graph path to plain TF ops so TFLITE_BUILTINS +
+        # SELECT_TF_OPS covers the whole program, NMS included
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            tf_fn = jax2tf.convert(
+                jax.jit(fn), native_serialization=False, enable_xla=False
+            )
+    else:
+        tf_fn = jax2tf.convert(
+            jax.jit(fn), native_serialization_platforms=(platform,)
+        )
     specs = [tf.TensorSpec(np.shape(a), str(np.asarray(a).dtype)) for a in example_args]
     module = tf.Module()
     module.f = tf.function(tf_fn, input_signature=specs, autograph=False)

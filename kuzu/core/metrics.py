@@ -40,12 +40,18 @@ def match_predictions(
     gt_boxes: np.ndarray,
     gt_classes: np.ndarray,
     iou_thresholds: np.ndarray,
+    use_scipy: bool = False,
 ) -> np.ndarray:
-    """Greedy IoU matching of score-sorted predictions to GT per threshold.
+    """IoU matching of score-sorted predictions to GT per threshold.
 
     Returns ``correct`` (n_pred, n_thr) bool — reference
     ``validator.match_predictions`` semantics: each GT matches at most one
-    prediction (highest IoU first), classes must agree.
+    prediction, classes must agree. ``use_scipy=False`` (default) matches
+    greedily by IoU (highest pair first); ``use_scipy=True`` solves the
+    optimal assignment with ``scipy.optimize.linear_sum_assignment``,
+    mirroring the reference's optional branch
+    (``yolov12/ultralytics/engine/validator.py:222-238`` — maximize total
+    IoU over candidate pairs above the threshold).
     """
     n_pred, n_thr = len(pred_boxes), len(iou_thresholds)
     correct = np.zeros((n_pred, n_thr), dtype=bool)
@@ -56,6 +62,16 @@ def match_predictions(
     for t, thr in enumerate(iou_thresholds):
         cand = iou >= thr
         if not cand.any():
+            continue
+        if use_scipy:
+            import scipy.optimize
+
+            cost = np.where(cand, iou, 0.0)
+            g_idx, p_idx = scipy.optimize.linear_sum_assignment(
+                cost, maximize=True
+            )
+            valid = cost[g_idx, p_idx] > 0
+            correct[p_idx[valid], t] = True
             continue
         # greedy by IoU: repeatedly take the best (gt, pred) pair
         m = np.where(cand, iou, 0.0).copy()
@@ -140,6 +156,9 @@ class DetMetrics:
     iou_thresholds: np.ndarray = field(
         default_factory=lambda: np.linspace(0.5, 0.95, 10)
     )
+    # optimal (Hungarian) matching instead of greedy — the reference
+    # validator's optional scipy branch (engine/validator.py:222)
+    use_scipy: bool = False
     _tp: list = field(default_factory=list)
     _conf: list = field(default_factory=list)
     _pred_cls: list = field(default_factory=list)
@@ -161,7 +180,11 @@ class DetMetrics:
         pc = np.asarray(pred_classes)[np.asarray(pred_valid, bool)]
         gb = np.asarray(gt_boxes)[np.asarray(gt_valid, bool)]
         gc = np.asarray(gt_classes)[np.asarray(gt_valid, bool)]
-        self._tp.append(match_predictions(pb, pc, gb, gc, self.iou_thresholds))
+        self._tp.append(
+            match_predictions(
+                pb, pc, gb, gc, self.iou_thresholds, use_scipy=self.use_scipy
+            )
+        )
         self._conf.append(ps)
         self._pred_cls.append(pc)
         self._target_cls.append(gc)

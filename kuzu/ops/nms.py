@@ -208,6 +208,12 @@ def non_max_suppression(
         boxes = jnp.repeat(boxes, nc, axis=1)
         scores = cls_scores.reshape(b, a * nc)
         classes = jnp.tile(jnp.arange(nc, dtype=jnp.int32), (b, a))
+    elif cls_scores.shape[-1] == 1:
+        # single-class (the production kuzushiji char detector): no argmax
+        # — besides being free, argmax over a size-1 axis lowers to a
+        # variadic mhlo.reduce that the TFLite converter cannot legalize
+        scores = cls_scores[..., 0]
+        classes = jnp.zeros(scores.shape, jnp.int32)
     else:
         scores = cls_scores.max(axis=-1)
         classes = cls_scores.argmax(axis=-1).astype(jnp.int32)

@@ -156,7 +156,7 @@ class DetectTrainer(BaseTrainer):
 
             fwd = self._val_fwd = jax.jit(_fwd)
 
-        dm = DetMetrics()
+        dm = DetMetrics(use_scipy=bool(self.cfg.get("val_scipy", False)))
         from kuzu.tasks.base import resolve_val_batches
 
         max_batches = resolve_val_batches(self.cfg, self.val_loader)

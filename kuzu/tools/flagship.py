@@ -130,6 +130,7 @@ def bench_train_step(
     steps: int = 10,
     optimizer: str = "sgd",
     seed: int = 0,
+    attn_impl: str = "auto",
 ) -> dict:
     """Measure the full jitted train step at flagship scale on the device.
 
@@ -146,7 +147,8 @@ def bench_train_step(
     from kuzu.ops.detect_loss import detection_loss
 
     det = YoloDetector(
-        model, nc=nc, dtype=jnp.bfloat16, imgsz=imgsz, remat=remat
+        model, nc=nc, dtype=jnp.bfloat16, imgsz=imgsz, remat=remat,
+        attn_impl=attn_impl,
     )
     variables = det.init(jax.random.key(seed), imgsz=imgsz)
     model_state = {k: v for k, v in variables.items() if k != "params"}

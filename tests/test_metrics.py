@@ -81,3 +81,21 @@ def test_character_accuracy():
     preds = np.array([[0.0, 0, 10, 10], [20, 0, 30, 10]])
     acc = character_accuracy(preds, np.array([1, 2]), gt, np.array([1, 3]))
     assert acc == 0.5
+
+
+def test_match_predictions_hungarian_beats_greedy():
+    """Constructed case where greedy matching strands a prediction but the
+    optimal assignment (use_scipy=True, reference engine/validator.py:222)
+    matches both: pred0 overlaps both GTs (best with gt0), pred1 overlaps
+    only gt0. Greedy pairs (gt0, pred0) first and leaves pred1 unmatched;
+    Hungarian assigns pred0->gt1, pred1->gt0."""
+    from kuzu.core.metrics import match_predictions
+
+    gt = np.array([[0.0, 0, 20, 10], [5, 0, 19, 10]])
+    preds = np.array([[0.0, 0, 19, 10], [0, 0, 14, 10]])
+    classes = np.zeros(2)
+    thr = np.array([0.5])
+    greedy = match_predictions(preds, classes, gt, classes, thr)
+    hung = match_predictions(preds, classes, gt, classes, thr, use_scipy=True)
+    assert greedy[:, 0].sum() == 1  # pred1 stranded
+    assert hung[:, 0].sum() == 2    # optimal: both matched

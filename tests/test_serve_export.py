@@ -222,3 +222,30 @@ def test_autobackend_onnx_gate(tmp_path):
         pass
     with pytest.raises(ImportError, match="onnxruntime"):
         AutoBackend(p)
+
+
+def test_export_tflite_roundtrip(trained_run):
+    """format=tflite end-to-end (reference exporter's TFLite target,
+    ``engine/exporter.py:107``): convert via jax2tf -> tf.lite, then run the
+    blob through the tflite interpreter (AutoBackend) and check inference
+    parity against the run-dir (jax) backend."""
+    import numpy as np
+
+    from kuzu.api.backend import AutoBackend
+    from kuzu.api.export import Exporter
+    from kuzu.core.config import load_config
+
+    cfg = load_config(
+        overrides={"model": str(trained_run["run_dir"]), "format": "tflite",
+                   "conf": 0.001, "batch": 1, "nms": True}
+    )
+    out = Exporter(cfg).run()
+    assert out.exists() and out.suffix == ".tflite" and out.stat().st_size > 0
+
+    imgs = np.random.default_rng(0).random((1, 64, 64, 3)).astype(np.float32)
+    r_tfl = AutoBackend(out)(imgs)
+    assert r_tfl["boxes"].shape == (1, 300, 4)
+    r_run = AutoBackend(trained_run["run_dir"], conf=0.001)(imgs)
+    np.testing.assert_allclose(r_tfl["boxes"], r_run["boxes"], atol=2e-2)
+    np.testing.assert_allclose(r_tfl["scores"], r_run["scores"], atol=1e-3)
+    np.testing.assert_array_equal(r_tfl["valid"], r_run["valid"])
