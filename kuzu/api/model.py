@@ -131,12 +131,15 @@ class Model:
         tk = self._tracker_obj
         for r in results:
             extra = {}
-            if isinstance(tk, BoTSORT) and r.path:
-                import cv2
+            if isinstance(tk, BoTSORT):
+                if r.orig_img is not None:  # video/stream frames carry it
+                    extra["frame"] = r.orig_img
+                elif r.path:
+                    import cv2
 
-                frame = cv2.imread(str(r.path))
-                if frame is not None:
-                    extra["frame"] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                    frame = cv2.imread(str(r.path))
+                    if frame is not None:
+                        extra["frame"] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
             tracks = tk.update(r.boxes.xyxy, r.boxes.conf, r.boxes.cls, **extra)
             if tracks:
                 r.boxes = Boxes(

@@ -23,6 +23,18 @@ class Dataset(Protocol):
     def __getitem__(self, idx: int) -> dict[str, np.ndarray]: ...
 
 
+def next_bucket(n: int, min_bucket: int = 8) -> int:
+    """Smallest power-of-two bucket >= n (>= min_bucket).
+
+    Host-facing batches pad to these static sizes so that repeat calls with
+    varying counts reuse the compiled XLA program — a fresh batch dim is a
+    fresh compile (and through the tunneled TPU, a multi-second stall)."""
+    b = min_bucket
+    while b < n:
+        b *= 2
+    return b
+
+
 def default_collate(samples: list[dict[str, np.ndarray]]) -> dict[str, np.ndarray]:
     out: dict[str, np.ndarray] = {}
     for key in samples[0]:

