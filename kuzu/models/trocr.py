@@ -340,3 +340,55 @@ def generate(
     return greedy_generate(
         model, params, images, max_len=max_len, bos_id=bos_id, eos_id=eos_id
     )
+
+
+def graft_lm_decoder(trocr_params: Any, lm_params: Any) -> tuple[Any, int, int]:
+    """Initialize the AR decoder from a pretrained ``CharMLM``.
+
+    The reference builds its TrOCR decoder by loading a *pretrained*
+    causal LM and adding cross-attention fresh
+    (``src/models/trocr_model.py:225-231`` AutoModelForCausalLM with
+    ``is_decoder=True, add_cross_attention=True``; the LM itself comes from
+    the char-MLM pretraining pipeline, P23). Equivalent surgery here: the
+    transferable submodules of ``kuzu.models.lm.CharMLM`` map onto the
+    ``ARDecoder`` namespace and graft by shape —
+
+    ==================  =====================
+    CharMLM             ARDecoder
+    ==================  =====================
+    embed               embed
+    block{i}/norm1      block{i}/norm1
+    block{i}/attn       block{i}/self_attn
+    block{i}/norm2      block{i}/norm3  (the pre-MLP norm)
+    block{i}/mlp        block{i}/mlp
+    norm                norm
+    lm_head             lm_head
+    ==================  =====================
+
+    pos_embed, memory_proj, cross-attention and its norm2 stay freshly
+    initialized (they have no LM counterpart — exactly the tensors HF
+    initializes fresh when add_cross_attention=True).
+
+    Returns ``(params, n_loaded, n_decoder_total)``.
+    """
+    from kuzu.core.checkpoint import partial_load
+
+    renamed: dict[str, Any] = {}
+    for k, v in lm_params.items():
+        if k.startswith("block"):
+            sub = {}
+            if "norm1" in v:
+                sub["norm1"] = v["norm1"]
+            if "attn" in v:
+                sub["self_attn"] = v["attn"]
+            if "norm2" in v:
+                sub["norm3"] = v["norm2"]
+            if "mlp" in v:
+                sub["mlp"] = v["mlp"]
+            renamed[k] = sub
+        elif k in ("embed", "norm", "lm_head"):
+            renamed[k] = v
+    dec, n, total = partial_load(trocr_params["decoder"], renamed, verbose=False)
+    out = dict(trocr_params)
+    out["decoder"] = dec
+    return out, n, total

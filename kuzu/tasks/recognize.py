@@ -46,6 +46,14 @@ class RecognizeTrainer(BaseTrainer):
         max_len = int(cfg.get("max_label_length", 128))
 
         tok_path = cfg.get("tokenizer")
+        if not tok_path and cfg.get("decoder_init"):
+            # decoder initialization from a pretrained char-LM run implies
+            # that run's tokenizer (token ids must line up with the grafted
+            # embedding — the reference's decoder_path brings its tokenizer,
+            # ``src/models/trocr_model.py:225``)
+            lm_tok = Path(str(cfg.decoder_init)) / "tokenizer.json"
+            if lm_tok.exists():
+                tok_path = lm_tok
         tokenizer = CharTokenizer.load(tok_path) if tok_path else None
 
         if data.endswith(".csv"):
@@ -107,7 +115,53 @@ class RecognizeTrainer(BaseTrainer):
         variables = self.model.init(
             jax.random.key(int(cfg.get("seed", 0))), images, tokens
         )
-        return variables["params"]
+        params = variables["params"]
+        dec_init = cfg.get("decoder_init")
+        if dec_init:
+            params = self._graft_decoder(params, Path(str(dec_init)))
+        return params
+
+    def _graft_decoder(self, params, lm_run: Path):
+        """Load a trained CharMLM run and graft it into the AR decoder
+        (reference ``trocr_model.py:225-231`` pretrained-decoder recipe)."""
+        from kuzu.core.checkpoint import CheckpointManager
+        from kuzu.core.config import load_config
+        from kuzu.core.train import build_optimizer, init_state
+        from kuzu.models.lm import CharMLM
+        from kuzu.models.trocr import graft_lm_decoder
+
+        lm_cfg = load_config(
+            lm_run / "args.yaml" if (lm_run / "args.yaml").exists() else None
+        )
+        lm = CharMLM(
+            vocab_size=len(self.tokenizer),
+            max_len=int(lm_cfg.get("max_length", 128)),
+            dim=int(lm_cfg.get("dim", 256)),
+            depth=int(lm_cfg.get("depth", 6)),
+            num_heads=int(lm_cfg.get("heads", 8)),
+        )
+        lm_params = lm.init(
+            jax.random.key(0), jnp.zeros((1, lm.max_len), jnp.int32)
+        )["params"]
+        state = init_state(lm_params, build_optimizer(lm_cfg), use_ema=True)
+        mgr = CheckpointManager(lm_run / "weights")
+        state = mgr.restore("best" if mgr.exists("best") else "last", like=state)
+        lm_params = (
+            state.ema_params if state.ema_params is not None else state.params
+        )
+        lm_emb = np.asarray(lm_params["embed"]["embedding"]).shape
+        dec_emb = np.asarray(params["decoder"]["embed"]["embedding"]).shape
+        if lm_emb != dec_emb:
+            raise ValueError(
+                f"decoder_init={lm_run}: LM embedding {lm_emb} does not "
+                f"match decoder embedding {dec_emb} — dim or vocab mismatch "
+                f"(dec_dim={self.model.dec_dim}); no tensors transferred"
+            )
+        params, n, total = graft_lm_decoder(params, lm_params)
+        LOGGER.info(
+            f"decoder_init: grafted {n}/{total} decoder tensors from {lm_run}"
+        )
+        return params
 
     def loss_fn(self, params, batch, rng):
         tokens = batch["tokens"]  # (B, L) = <s> text </s> pad...

@@ -1,0 +1,160 @@
+"""CharMLM -> TrOCR decoder initialization (reference
+``src/models/trocr_model.py:225-231``: the AR decoder is a *pretrained*
+causal LM with cross-attention added fresh; the LM comes from the char-MLM
+pretraining pipeline, P23)."""
+
+from pathlib import Path
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image, ImageDraw
+
+TEXTS = ["abc", "bca", "cab", "aabb", "ccba", "abca"]
+
+
+def _line_image(text: str, size=(64, 256)) -> Image.Image:
+    img = Image.new("RGB", (size[1], size[0]), (255, 255, 255))
+    d = ImageDraw.Draw(img)
+    for i, ch in enumerate(text):
+        x = 10 + i * 40
+        c = {"a": (0, 0, 0), "b": (180, 0, 0), "c": (0, 0, 180)}[ch]
+        d.rectangle([x, 10, x + 30, 50], fill=c)
+    return img
+
+
+@pytest.fixture(scope="module")
+def oneline_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("oneline")
+    for split, texts in (("train", TEXTS * 3), ("val", TEXTS[:3])):
+        (root / split / "images" / "b").mkdir(parents=True, exist_ok=True)
+        (root / split / "labels" / "b").mkdir(parents=True, exist_ok=True)
+        for i, t in enumerate(texts):
+            _line_image(t).save(root / split / "images" / "b" / f"{i}.png")
+            (root / split / "labels" / "b" / f"{i}.txt").write_text(t)
+    return root
+
+
+@pytest.fixture(scope="module")
+def lm_run(tmp_path_factory, oneline_root):
+    """Tiny CharMLM trained on the same character distribution, with a
+    tokenizer covering the recognize dataset."""
+    from kuzu.core.config import load_config
+    from kuzu.tasks.lm import LMTrainer
+
+    d = tmp_path_factory.mktemp("lmcorpus")
+    (d / "train.txt").write_text("\n".join(TEXTS * 6))
+    (d / "val.txt").write_text("\n".join(TEXTS))
+    cfg = load_config(
+        overrides=dict(
+            task="lm", data=str(d), epochs=2, batch=8, max_length=8,
+            dim=32, depth=1, heads=2, lr0=0.003, optimizer="adamw",
+            warmup_epochs=0.0, project=str(d / "runs"), name="lm",
+            exist_ok=True, workers=0, dtype="float32",
+        )
+    )
+    trainer = LMTrainer(cfg)
+    trainer.train()
+    return trainer.save_dir
+
+
+def _rec_cfg(oneline_root, tmp_path, **kw):
+    from kuzu.core.config import load_config
+
+    base = dict(
+        task="recognize", data=str(oneline_root), epochs=2, batch=6,
+        imgsz=[64, 256], patch=16, enc_dim=32, enc_depth=1, enc_heads=2,
+        dec_dim=32, dec_depth=1, dec_heads=2, max_label_length=8,
+        lr0=0.002, optimizer="adamw", warmup_epochs=0.0,
+        project=str(tmp_path / "runs"), name="t", exist_ok=True,
+        workers=0, dtype="float32",
+    )
+    base.update(kw)
+    return load_config(overrides=base)
+
+
+def test_graft_transfers_matching_leaves(oneline_root, lm_run, tmp_path):
+    """The grafted decoder starts from the trained LM: embed / self-attn /
+    mlp / lm_head leaves equal the LM's EMA weights; cross-attention and
+    pos_embed stay fresh."""
+    from kuzu.tasks.recognize import RecognizeTrainer
+
+    cfg = _rec_cfg(oneline_root, tmp_path, decoder_init=str(lm_run))
+    trainer = RecognizeTrainer(cfg)
+    trainer.train_loader, trainer.val_loader = trainer.build_datasets()
+    params = trainer.build_model()
+
+    # reload the LM exactly as the graft path does
+    lm_params = trainer._graft_decoder.__self__  # noqa: F841 (sanity: bound)
+    from kuzu.core.checkpoint import CheckpointManager
+    from kuzu.core.config import load_config as _lc
+    from kuzu.core.train import build_optimizer, init_state
+    from kuzu.models.lm import CharMLM
+    import jax.numpy as jnp
+
+    lm_cfg = _lc(lm_run / "args.yaml")
+    lm = CharMLM(
+        vocab_size=len(trainer.tokenizer), max_len=8, dim=32, depth=1,
+        num_heads=2,
+    )
+    p0 = lm.init(jax.random.key(0), jnp.zeros((1, 8), jnp.int32))["params"]
+    st = init_state(p0, build_optimizer(lm_cfg), use_ema=True)
+    st = CheckpointManager(lm_run / "weights").restore("best" if CheckpointManager(lm_run / "weights").exists("best") else "last", like=st)
+    lmp = st.ema_params if st.ema_params is not None else st.params
+
+    dec = params["decoder"]
+    np.testing.assert_array_equal(
+        np.asarray(dec["embed"]["embedding"]),
+        np.asarray(lmp["embed"]["embedding"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dec["block0"]["self_attn"]["q"]["kernel"]),
+        np.asarray(lmp["block0"]["attn"]["q"]["kernel"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dec["block0"]["norm3"]["scale"]),
+        np.asarray(lmp["block0"]["norm2"]["scale"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dec["lm_head"]["kernel"]), np.asarray(lmp["lm_head"]["kernel"])
+    )
+    # cross-attention has no LM counterpart: must NOT equal self-attn
+    assert not np.array_equal(
+        np.asarray(dec["block0"]["cross_attn"]["q"]["kernel"]),
+        np.asarray(lmp["block0"]["attn"]["q"]["kernel"]),
+    )
+    # tokenizer came from the LM run
+    assert trainer.tokenizer.encode("abc", max_length=8)[0] >= 0
+
+
+def test_graft_mismatch_raises(oneline_root, lm_run, tmp_path):
+    """A dimension mismatch must fail loudly, not silently train from
+    scratch."""
+    from kuzu.tasks.recognize import RecognizeTrainer
+
+    cfg = _rec_cfg(
+        oneline_root, tmp_path, decoder_init=str(lm_run), dec_dim=48,
+        name="mm",
+    )
+    trainer = RecognizeTrainer(cfg)
+    trainer.train_loader, trainer.val_loader = trainer.build_datasets()
+    with pytest.raises(ValueError, match="does not\\s+match decoder embedding|dim or vocab mismatch"):
+        trainer.build_model()
+
+
+@pytest.mark.slow
+def test_decoder_init_improves_over_scratch(oneline_root, lm_run, tmp_path):
+    """Same budget, LM-initialized decoder reaches <= scratch CER (the
+    reference's motivation for pretraining the decoder)."""
+    from kuzu.tasks.recognize import RecognizeTrainer
+
+    res_init = RecognizeTrainer(
+        _rec_cfg(oneline_root, tmp_path, decoder_init=str(lm_run),
+                 epochs=8, name="init")
+    ).train()
+    res_scratch = RecognizeTrainer(
+        _rec_cfg(oneline_root, tmp_path,
+                 tokenizer=str(lm_run / "tokenizer.json"),
+                 epochs=8, name="scratch")
+    ).train()
+    assert res_init["cer"] <= res_scratch["cer"] + 0.05
