@@ -46,9 +46,13 @@ class YoloDetector:
             path, scale = resolve_model_spec(str(model))
             self.spec = parse_model_yaml(path, scale=scale, nc=nc)
         if attn_impl == "auto":
-            # fused Pallas area attention on TPU (keeps the NxN scores in
-            # VMEM); einsum elsewhere (the kernel is TPU-only)
-            attn_impl = "flash" if jax.default_backend() == "tpu" else "einsum"
+            # fused Pallas area attention on TPU in BOTH directions
+            # ('flash_train': kernel forward + VMEM flash backward — 195 vs
+            # 330 ms/step einsum at flagship scale, in-process A/B, round 3);
+            # einsum elsewhere (the kernels are TPU-only)
+            attn_impl = (
+                "flash_train" if jax.default_backend() == "tpu" else "einsum"
+            )
         self.module = YoloGraph(
             self.spec, dtype=dtype, remat=remat, attn_impl=attn_impl
         )

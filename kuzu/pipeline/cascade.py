@@ -43,6 +43,7 @@ class KuzushijiPipeline:
         margin: float = 0.05,  # column crop margin (reference padding ratio)
         decode: str = "greedy",  # 'beam' = reference num_beams=4 semantics
         num_beams: int = 4,
+        max_det: int = 300,  # production char detection: 2000
     ):
         from kuzu.core.config import load_config
 
@@ -51,6 +52,7 @@ class KuzushijiPipeline:
         self.margin = margin
         self.decode = decode
         self.num_beams = num_beams
+        self.max_det = max_det
         self.column_det = None
         self.char_det = None
         self.recognizer = None
@@ -65,7 +67,12 @@ class KuzushijiPipeline:
             from kuzu.tasks.detect import DetectPredictor
 
             self.char_det = DetectPredictor(
-                load_config(overrides={"model": str(char_model), "conf": conf})
+                load_config(
+                    overrides={
+                        "model": str(char_model), "conf": conf,
+                        "max_det": max_det,
+                    }
+                )
             )
         if recognizer:
             from kuzu.tasks.recognize import RecognizePredictor
@@ -112,7 +119,9 @@ class KuzushijiPipeline:
             {k: out[k][i] for k in ("boxes", "scores", "classes", "valid")}
             for i in range(len(tiles))
         ]
-        return merge_tile_detections(per_tile, metas, page_shape=img.shape[:2])
+        return merge_tile_detections(
+            per_tile, metas, page_shape=img.shape[:2], max_det=self.max_det
+        )
 
     def _column_bounds(
         self, shape: tuple[int, ...], boxes: np.ndarray
@@ -361,7 +370,7 @@ class KuzushijiPipeline:
         if not image_paths:
             return []
         if self.tile_grid > 1:
-            return [self.process_page(p) for p in image_paths]
+            return self._process_pages_tiled(image_paths)
         assert self.column_det is not None, "no column model configured"
         detections = self.column_det(list(image_paths))  # one batched forward
         results: list[dict] = []
@@ -395,6 +404,124 @@ class KuzushijiPipeline:
             results.append(result)
         if self.recognizer is not None and all_crops:
             texts = self.recognize_crops(all_crops)  # one batched generate
+            for result, (lo, hi) in zip(results, crop_spans):
+                page_texts = texts[lo:hi]
+                for col, t in zip(result["columns"], page_texts):
+                    col["text"] = t
+                result["text"] = "\n".join(page_texts)
+                if self.lm is not None and page_texts:
+                    for col, s in zip(
+                        result["columns"], self.rescore_texts(page_texts)
+                    ):
+                        col["lm_score"] = s
+        return results
+
+    def _process_pages_tiled(self, image_paths: list[str | Path]) -> list[dict]:
+        """Batched production cascade for high-resolution pages.
+
+        The production character detector is trained on overlap tiles
+        (reference quadrant pipeline, ``character_detection.yaml:37-43``)
+        and the app predicts with ``max_det=2000``
+        (``yolo_inference_app.py:103``). Here every stage stays batched:
+        one full-page forward for columns (columns are large — no tiling
+        needed at 640), ONE forward over *all pages' tiles* for characters
+        (merged per page with cross-tile NMS), one batched generate for all
+        column crops, one jitted LM rescore."""
+        import cv2
+        import jax.numpy as jnp
+
+        from kuzu.data.loader import next_bucket
+        from kuzu.pipeline.tiling import merge_tile_detections, tile_image
+
+        assert self.column_det is not None, "no column model configured"
+        images = [
+            cv2.cvtColor(cv2.imread(str(p)), cv2.COLOR_BGR2RGB)
+            for p in image_paths
+        ]
+        col_dets = self.column_det(list(image_paths))  # batched full pages
+
+        # characters: all pages' tiles through one forward
+        char_pages: list[dict] | None = None
+        if self.char_det is not None:
+            if not self.char_det.ready:
+                self.char_det._setup()
+            tiles_all, metas_all, spans = [], [], []
+            for img in images:
+                tiles, metas = tile_image(
+                    img, grid=self.tile_grid, overlap=self.tile_overlap,
+                    tile_size=self.char_det.imgsz,
+                )
+                spans.append((len(tiles_all), len(tiles_all) + len(tiles)))
+                tiles_all.extend(tiles)
+                metas_all.extend(metas)
+            stack = np.stack(tiles_all)
+            pad = next_bucket(len(stack)) - len(stack)
+            if pad:
+                stack = np.concatenate([stack, np.zeros_like(stack[:pad])])
+            out = self.char_det._fwd(jnp.asarray(stack))
+            out = {k: np.asarray(v) for k, v in out.items()}
+            char_pages = []
+            for img, (lo, hi) in zip(images, spans):
+                per_tile = [
+                    {k: out[k][i] for k in ("boxes", "scores", "classes", "valid")}
+                    for i in range(lo, hi)
+                ]
+                char_pages.append(
+                    merge_tile_detections(
+                        per_tile, metas_all[lo:hi], page_shape=img.shape[:2],
+                        max_det=self.max_det,
+                    )
+                )
+
+        results: list[dict] = []
+        all_crops: list[np.ndarray] = []
+        crop_spans: list[tuple[int, int]] = []
+        for pi, (path, image, det) in enumerate(
+            zip(image_paths, images, col_dets)
+        ):
+            order = sort_columns_right_to_left(np.asarray(det["boxes"]))
+            boxes = np.asarray(det["boxes"])[order]
+            scores = np.asarray(det["scores"])[order]
+            result: dict[str, Any] = {
+                "image": str(path),
+                "columns": [
+                    {"box": b.tolist(), "score": float(s)}
+                    for b, s in zip(boxes, scores)
+                ],
+            }
+            if char_pages is not None:
+                chars = char_pages[pi]
+                result["characters"] = {
+                    "boxes": chars["boxes"].tolist(),
+                    "scores": chars["scores"].tolist(),
+                }
+                # per-column assignment by center containment (reading order)
+                if len(boxes):
+                    cx = (chars["boxes"][:, 0] + chars["boxes"][:, 2]) / 2
+                    cy = (chars["boxes"][:, 1] + chars["boxes"][:, 3]) / 2
+                    for col, cb in zip(result["columns"], boxes):
+                        inside = (
+                            (cx >= cb[0]) & (cx <= cb[2])
+                            & (cy >= cb[1]) & (cy <= cb[3])
+                        )
+                        cb_boxes = chars["boxes"][inside]
+                        cb_scores = chars["scores"][inside]
+                        top = np.argsort(
+                            cb_boxes[:, 1] + cb_boxes[:, 3]
+                        )  # top -> bottom
+                        col["chars"] = {
+                            "boxes": cb_boxes[top].tolist(),
+                            "scores": cb_scores[top].tolist(),
+                        }
+            if self.recognizer is not None:
+                crops = self.crop_columns(image, boxes)
+                crop_spans.append((len(all_crops), len(all_crops) + len(crops)))
+                all_crops.extend(crops)
+            else:
+                crop_spans.append((0, 0))
+            results.append(result)
+        if self.recognizer is not None and all_crops:
+            texts = self.recognize_crops(all_crops)
             for result, (lo, hi) in zip(results, crop_spans):
                 page_texts = texts[lo:hi]
                 for col, t in zip(result["columns"], page_texts):

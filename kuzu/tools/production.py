@@ -1,0 +1,496 @@
+"""Production-regime harness: dense pages, real vocabulary, full cascade.
+
+Round-2 VERDICT item 1 — everything quality-related so far ran on tiny
+synthetic sets; the reference's *production* regime is dense pages (the web
+app predicts with ``max_det=2000``, ``scripts/yolo_inference_app.py:103``),
+a ~4.8k-char vocabulary (``/root/reference/data/unicode_translation.csv``,
+4,783 rows) and 128-token column transcriptions. This module builds that
+regime synthetically and drives the full production configuration through
+training, evaluation, the cascade benchmark, and the one real sample page in
+the environment (``/root/reference/data/examples/sample.jpg``).
+
+Glyphs are procedural (no CJK font exists in this image): each codepoint
+renders as a *deterministic* brush-stroke pattern seeded by its code, so the
+mapping glyph→char is learnable at the real vocabulary scale and the
+pipeline runs at the real density — the stand-in is the glyph *shapes*, not
+the regime (density, vocab size, column structure, reading order, pipeline
+semantics are all production-faithful).
+
+Commands (``python -m kuzu.tools.production <cmd> k=v ...``):
+  synth    build the dense-page dataset suite under root=runs/production
+  train    train col/char/rec/lm at production config (stage=all|col|char|rec|lm)
+  quality  dense-page detection mAP@max_det=2000 + recognizer CER
+  bench    cascade pages/s at the production configuration
+  sample   run the cascade on the real sample page -> YAML + viz
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+VOCAB_CSV = Path("/root/reference/data/unicode_translation.csv")
+SAMPLE_PAGE = Path("/root/reference/data/examples/sample.jpg")
+
+PAGE = 1280  # synthetic page side (reference pages are high-res scans)
+
+
+# ------------------------------------------------------------------ vocab
+
+
+def load_vocab(csv_path: Path = VOCAB_CSV) -> list[str]:
+    """The real 4,783-char kuzushiji vocabulary (reference P15 ``Vocab`` is
+    CSV-driven, ``src/utils/tokenizer.py:27``)."""
+    if not csv_path.exists():
+        raise FileNotFoundError(
+            f"vocabulary csv not found: {csv_path} (reference data asset)"
+        )
+    chars = []
+    for line in csv_path.read_text(encoding="utf-8").splitlines()[1:]:
+        uni = line.split(",")[0].strip()
+        if uni.startswith("U+"):
+            chars.append(chr(int(uni[2:], 16)))
+    return chars
+
+
+def production_tokenizer():
+    from kuzu.data.tokenizer import CharTokenizer
+
+    vocab = load_vocab()
+    # NFKC-off: the historical vocab distinguishes variants NFKC would fold
+    return CharTokenizer(
+        vocab={
+            **{t: i for i, t in enumerate(["<pad>", "<unk>", "<bos>", "<eos>", "<mask>"])},
+            **{c: i + 5 for i, c in enumerate(dict.fromkeys(vocab))},
+        },
+        nfkc=False,
+    )
+
+
+# ------------------------------------------------------------ glyph render
+
+
+def _glyph_strokes(codepoint: int) -> list:
+    """Deterministic stroke set for one codepoint (unit square coords)."""
+    r = np.random.default_rng(codepoint * 2654435761 % 2**32)
+    strokes = []
+    for _ in range(int(r.integers(2, 6))):
+        pts = r.random((int(r.integers(2, 5)), 2)) * 0.9 + 0.05
+        strokes.append((pts, float(r.random() * 0.12 + 0.05)))
+    return strokes
+
+
+_STROKE_CACHE: dict[int, list] = {}
+
+
+def draw_glyph(d, ch: str, x: int, y: int, w: int, h: int, rng, ink=(40, 30, 25)):
+    cp = ord(ch)
+    strokes = _STROKE_CACHE.get(cp)
+    if strokes is None:
+        strokes = _STROKE_CACHE[cp] = _glyph_strokes(cp)
+    jx, jy = rng.normal(0, 0.015, 2)
+    shade = int(rng.integers(0, 30))
+    col = tuple(min(255, c + shade) for c in ink)
+    for pts, width in strokes:
+        px = [(x + (p[0] + jx) * w, y + (p[1] + jy) * h) for p in pts]
+        d.line(px, fill=col, width=max(1, int(width * w)))
+
+
+# ------------------------------------------------------------- page synth
+
+
+def synth_corpus(tok, n_lines: int, max_len: int, rng) -> list[str]:
+    """Zipf-distributed text over the real vocabulary."""
+    chars = [c for c in tok.vocab if len(c) == 1]
+    ranks = rng.permutation(len(chars))
+    p = 1.0 / (np.argsort(ranks) + 1.0) ** 1.1
+    p /= p.sum()
+    lines = []
+    for _ in range(n_lines):
+        ln = int(rng.integers(max_len // 3, max_len))
+        idx = rng.choice(len(chars), size=ln, p=p)
+        lines.append("".join(chars[i] for i in idx))
+    return lines
+
+
+def synth_dense_pages(
+    root: Path,
+    n_train: int = 48,
+    n_val: int = 12,
+    page: int = PAGE,
+    seed: int = 0,
+) -> dict:
+    """Build the production dataset suite: dense pages (≥800 glyphs/page),
+    page-level char labels (nc=1), column labels, tiled char-detect set,
+    column_info.csv for the recognizer, and an LM corpus — the offline ETL
+    the reference runs via P19/P20 (data_preprocessing + prepare_yolo_*)."""
+    import yaml
+    from PIL import Image, ImageDraw
+
+    from kuzu.tools.yolo_prep import build_tiled_dataset
+
+    tok = production_tokenizer()
+    rng = np.random.default_rng(seed)
+    chars = [c for c in tok.vocab if len(c) == 1]
+    ranks = rng.permutation(len(chars))
+    p = 1.0 / (np.argsort(ranks) + 1.0) ** 1.1
+    p /= p.sum()
+
+    root = Path(root)
+    csv_rows = ["column_image,original_image,box_in_original,unicode_ids"]
+    corpus: dict[str, list[str]] = {"train": [], "val": []}
+    stats = {"glyphs_per_page": []}
+    for split, n in (("train", n_train), ("val", n_val)):
+        for sub in ("char/images", "char/labels", "col/images", "col/labels"):
+            (root / sub / split).mkdir(parents=True, exist_ok=True)
+        (root / "columns" / split).mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            bg = 225 + int(rng.integers(0, 20))
+            img = Image.new("RGB", (page, page), (bg, bg - 5, bg - 18))
+            d = ImageDraw.Draw(img)
+            char_rows, col_rows = [], []
+            n_cols = int(rng.integers(14, 19))
+            # kuzushiji reading order: columns right -> left
+            xs = np.linspace(0.95, 0.05, n_cols) * page
+            glyphs = 0
+            for ci, cx in enumerate(xs):
+                cw = int(rng.integers(15, 22))  # column width ~ char size
+                y = int(rng.integers(24, 70))
+                col_chars, col_boxes = [], []
+                while y < page - 40:
+                    ch = chars[int(rng.choice(len(chars), p=p))]
+                    w = cw + int(rng.integers(-3, 4))
+                    h = int(w * rng.uniform(0.9, 1.4))
+                    x = int(cx - w / 2 + rng.integers(-3, 4))
+                    x = max(0, min(page - w - 1, x))
+                    if y + h > page - 10:
+                        break
+                    draw_glyph(d, ch, x, y, w, h, rng)
+                    char_rows.append(
+                        f"0 {(x + w / 2) / page:.6f} {(y + h / 2) / page:.6f} "
+                        f"{w / page:.6f} {h / page:.6f}"
+                    )
+                    col_chars.append(ch)
+                    col_boxes.append((x, y, x + w, y + h))
+                    y += h + int(rng.integers(1, 6))
+                glyphs += len(col_chars)
+                if not col_boxes:
+                    continue
+                bx = np.array(col_boxes)
+                x1, y1 = bx[:, 0].min() - 4, bx[:, 1].min() - 4
+                x2, y2 = bx[:, 2].max() + 4, bx[:, 3].max() + 4
+                col_rows.append(
+                    f"0 {(x1 + x2) / 2 / page:.6f} {(y1 + y2) / 2 / page:.6f} "
+                    f"{(x2 - x1) / page:.6f} {(y2 - y1) / page:.6f}"
+                )
+                # column crop for the recognizer (P19 output schema)
+                crop = img.crop((int(x1), int(y1), int(x2), int(y2)))
+                cpth = root / "columns" / split / f"p{i}c{ci}.png"
+                crop.save(cpth)
+                uni = " ".join(f"U+{ord(c):04X}" for c in col_chars)
+                csv_rows.append(
+                    f"{cpth.relative_to(root)},{split}/p{i}.jpg,"
+                    f"\"{int(x1)},{int(y1)},{int(x2)},{int(y2)}\",{uni}"
+                )
+                corpus[split].append("".join(col_chars))
+            img.save(root / "char/images" / split / f"p{i}.jpg", quality=92)
+            (root / "char/labels" / split / f"p{i}.txt").write_text(
+                "\n".join(char_rows)
+            )
+            img.save(root / "col/images" / split / f"p{i}.jpg", quality=92)
+            (root / "col/labels" / split / f"p{i}.txt").write_text(
+                "\n".join(col_rows)
+            )
+            stats["glyphs_per_page"].append(glyphs)
+    for name in ("char", "col"):
+        (root / name / "dataset.yaml").write_text(
+            yaml.safe_dump(
+                {"path": ".", "train": "images/train", "val": "images/val",
+                 "nc": 1, "names": {0: "char" if name == "char" else "column"}}
+            )
+        )
+    # 2x2 15%-overlap tiling of the char set (reference quadrant pipeline,
+    # P18): the 640-px detector sees ~736-px tiles of the 1280-px page
+    build_tiled_dataset(
+        root / "char" / "dataset.yaml", root / "char_tiled", grid=2,
+        overlap=0.15,
+    )
+    (root / "column_info.csv").write_text("\n".join(csv_rows), encoding="utf-8")
+    (root / "corpus").mkdir(exist_ok=True)
+    for split in ("train", "val"):
+        (root / "corpus" / f"{split}.txt").write_text(
+            "\n".join(corpus[split]), encoding="utf-8"
+        )
+    tok.save(root / "tokenizer.json")
+    gp = np.array(stats["glyphs_per_page"])
+    meta = {
+        "pages": int(gp.size),
+        "glyphs_per_page_mean": float(gp.mean()),
+        "glyphs_per_page_max": int(gp.max()),
+        "vocab": len(tok),
+        "columns": len(csv_rows) - 1,
+    }
+    (root / "meta.json").write_text(json.dumps(meta, indent=2))
+    print(json.dumps(meta))
+    return meta
+
+
+# ------------------------------------------------------------------ train
+
+
+def train_stage(root: Path, stage: str, **overrides) -> dict:
+    """Train one production component on the device."""
+    from kuzu.api.model import Model
+
+    root = Path(root)
+    results = {}
+    if stage in ("col", "all"):
+        m = Model("yolov12s", task="detect")
+        results["col"] = dict(
+            m.train(
+                data=str(root / "col" / "dataset.yaml"),
+                imgsz=640, epochs=int(overrides.get("col_epochs", 40)),
+                batch=8, dtype="bfloat16", max_boxes=24, max_det=32,
+                project=str(root / "runs"), name="col", exist_ok=True,
+                **({"workers": 2}),
+            )
+        )
+    if stage in ("char", "all"):
+        m = Model("yolov12-p2x", task="detect")
+        results["char"] = dict(
+            m.train(
+                data=str(root / "char_tiled" / "dataset.yaml"),
+                imgsz=640, epochs=int(overrides.get("char_epochs", 60)),
+                batch=8, dtype="bfloat16", remat=True,
+                max_boxes=400, max_det=2000, conf=0.25,
+                project=str(root / "runs"), name="char", exist_ok=True,
+                workers=2,
+            )
+        )
+    if stage in ("lm", "all"):
+        m = Model("charmlm", task="lm")
+        results["lm"] = dict(
+            m.train(
+                data=str(root / "corpus"),
+                tokenizer=str(root / "tokenizer.json"),
+                epochs=int(overrides.get("lm_epochs", 30)), batch=64,
+                max_length=128, dim=256, depth=6, heads=8, lr0=3e-4,
+                optimizer="adamw", dtype="bfloat16",
+                project=str(root / "runs"), name="lm", exist_ok=True,
+                workers=2,
+            )
+        )
+    if stage in ("rec", "all"):
+        m = Model("trocr", task="recognize")
+        kw = {}
+        lm_run = root / "runs" / "lm" / "lm"
+        if lm_run.exists():
+            kw["decoder_init"] = str(lm_run)  # pretrained-decoder recipe
+        results["rec"] = dict(
+            m.train(
+                data=str(root / "column_info.csv"),
+                tokenizer=str(root / "tokenizer.json"),
+                imgsz=[1024, 64], epochs=int(overrides.get("rec_epochs", 60)),
+                batch=16, max_label_length=128, dtype="bfloat16",
+                project=str(root / "runs"), name="rec", exist_ok=True,
+                workers=2, **kw,
+            )
+        )
+    print(json.dumps({k: _jsonable(v) for k, v in results.items()}))
+    return results
+
+
+def _jsonable(d):
+    return {
+        k: (float(v) if isinstance(v, (int, float, np.floating)) else str(v))
+        for k, v in d.items()
+    }
+
+
+# ------------------------------------------------------------------ bench
+
+
+def production_pipeline(root: Path, decode: str = "greedy"):
+    from kuzu.pipeline.cascade import KuzushijiPipeline
+
+    root = Path(root)
+    return KuzushijiPipeline(
+        column_model=root / "runs" / "col" / "col",
+        char_model=root / "runs" / "char" / "char",
+        recognizer=root / "runs" / "rec" / "rec",
+        lm=root / "runs" / "lm" / "lm",
+        tile_grid=2,
+        conf=0.25,
+        decode=decode,
+        max_det=2000,
+    )
+
+
+def bench(root: Path, pages: int = 16, reps: int = 3) -> dict:
+    """Production-configuration cascade pages/s (yolov12x-P2P5 char det with
+    2x2 tiling + full-size TrOCR + LM rescoring), on the val pages."""
+    root = Path(root)
+    pipe = production_pipeline(root)
+    paths = sorted((root / "char/images/val").glob("*.jpg"))[:pages]
+    assert paths, "run synth + train first"
+    # warmup (compiles)
+    pipe.process_pages(paths[:2])
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = pipe.process_pages(paths)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    n_chars = sum(len(p.get("text", "").replace("\n", "")) for p in out)
+    n_det = sum(len(p.get("characters", {}).get("boxes", [])) for p in out)
+    res = {
+        "pages": len(paths),
+        "pages_per_s": len(paths) / best,
+        "s_per_page": best / len(paths),
+        "chars_read": int(n_chars),
+        "chars_detected": int(n_det),
+        "decode": pipe.decode,
+        "max_det": pipe.max_det,
+    }
+    print(json.dumps(res))
+    return res
+
+
+def quality(root: Path) -> dict:
+    """Dense-regime quality: char-detector mAP on full 1280-px val pages
+    through the tiled path at max_det=2000, plus recognizer CER on held-out
+    columns (the metrics scripts/evaluation.py reports)."""
+    import cv2
+
+    from kuzu.core.metrics import DetMetrics, character_error_rate
+    from kuzu.data.tokenizer import CharTokenizer
+
+    root = Path(root)
+    pipe = production_pipeline(root)
+    dm = DetMetrics()
+    for pth in sorted((root / "char/images/val").glob("*.jpg")):
+        det = pipe.detect_chars(pth)
+        lab = np.loadtxt(
+            str(root / "char/labels/val" / (pth.stem + ".txt")), ndmin=2
+        )
+        img = cv2.imread(str(pth))
+        h, w = img.shape[:2]
+        gt = np.stack(
+            [
+                (lab[:, 1] - lab[:, 3] / 2) * w,
+                (lab[:, 2] - lab[:, 4] / 2) * h,
+                (lab[:, 1] + lab[:, 3] / 2) * w,
+                (lab[:, 2] + lab[:, 4] / 2) * h,
+            ],
+            axis=1,
+        )
+        dm.update(
+            det["boxes"], det["scores"], det["classes"],
+            np.ones(len(det["boxes"]), bool),
+            gt, lab[:, 0], np.ones(len(gt), bool),
+        )
+    det_m = dm.compute()
+
+    # recognizer CER on the csv's held-out split
+    from kuzu.data.ocr_datasets import ColumnInfoDataset
+
+    tok = CharTokenizer.load(root / "tokenizer.json")
+    ds = ColumnInfoDataset(
+        root / "column_info.csv", tok, split="test", image_size=(1024, 64),
+        max_length=128,
+    )
+    texts = ds.texts()[:64]
+    crops = [cv2.cvtColor(cv2.imread(str(p)), cv2.COLOR_BGR2RGB)
+             for p, _ in ds.items[:64]]
+    preds = pipe.recognize_crops(crops)
+    cer = character_error_rate(preds, texts)
+    res = {
+        "det_map50": float(det_m["map50"]),
+        "det_map": float(det_m["map"]),
+        "det_precision": float(np.mean(det_m["precision"])),
+        "det_recall": float(np.mean(det_m["recall"])),
+        "rec_cer": cer,
+        "max_det": 2000,
+    }
+    print(json.dumps(res))
+    return res
+
+
+def sample(root: Path, out_dir: Path | None = None) -> dict:
+    """Run the production cascade on the one real page in the environment
+    (``/root/reference/data/examples/sample.jpg``) and persist YAML +
+    visualization — the reference's ``scripts/inference.py`` output
+    contract (``:120-136``)."""
+    root = Path(root)
+    out_dir = Path(out_dir or root / "sample_out")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if not SAMPLE_PAGE.exists():
+        raise FileNotFoundError(SAMPLE_PAGE)
+    pipe = production_pipeline(root)
+    res = pipe.process_pages([SAMPLE_PAGE])[0]
+    pipe.save_result(res, out_dir / "sample.yaml")
+    _visualize(SAMPLE_PAGE, res, out_dir / "sample_viz.jpg")
+    summary = {
+        "columns": int(len(res["columns"])),
+        "chars": int(len(res.get("characters", {}).get("boxes", []))),
+        "texts": [c.get("text", "") for c in res["columns"][:3]],
+        "out": str(out_dir),
+    }
+    print(json.dumps(summary, ensure_ascii=False))
+    return summary
+
+
+def _visualize(page_path: Path, res: dict, out: Path) -> None:
+    import cv2
+
+    img = cv2.imread(str(page_path))
+    for col in res["columns"]:
+        x1, y1, x2, y2 = (int(v) for v in col["box"])
+        cv2.rectangle(img, (x1, y1), (x2, y2), (0, 160, 0), 3)
+    for box in res.get("characters", {}).get("boxes", []):
+        x1, y1, x2, y2 = (int(v) for v in box)
+        cv2.rectangle(img, (x1, y1), (x2, y2), (0, 0, 220), 1)
+    cv2.imwrite(str(out), img)
+
+
+# ----------------------------------------------------------------- driver
+
+
+def _kv(args):
+    out = {}
+    for a in args:
+        k, _, v = a.partition("=")
+        try:
+            out[k] = json.loads(v)
+        except json.JSONDecodeError:
+            out[k] = v
+    return out
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print(__doc__)
+        return
+    cmd, kv = argv[0], _kv(argv[1:])
+    root = Path(kv.pop("root", "runs/production"))
+    if cmd == "synth":
+        synth_dense_pages(root, **kv)
+    elif cmd == "train":
+        train_stage(root, str(kv.pop("stage", "all")), **kv)
+    elif cmd == "bench":
+        bench(root, **kv)
+    elif cmd == "quality":
+        quality(root)
+    elif cmd == "sample":
+        sample(root, kv.get("out"))
+    else:
+        raise SystemExit(f"unknown command {cmd}")
+
+
+if __name__ == "__main__":
+    main()

@@ -266,3 +266,31 @@ def test_cascade_beam_decode(pipeline_runs):
     assert len(rb["columns"]) == len(rg["columns"])
     for col in rb["columns"]:
         assert isinstance(col.get("text", ""), str)
+
+
+def test_batched_tiled_pages(pipeline_runs):
+    """The production multi-page path (tile_grid>1): every stage batched —
+    full-page column detect, ONE forward over all pages' tiles for chars
+    (merged per page, max_det pass-through), batched recognize."""
+    from kuzu.pipeline.cascade import KuzushijiPipeline
+
+    pipe = KuzushijiPipeline(
+        column_model=pipeline_runs["det"],
+        char_model=pipeline_runs["det"],  # stands in as a char detector
+        recognizer=pipeline_runs["rec"],
+        conf=0.001,
+        tile_grid=2,
+        max_det=2000,
+    )
+    pages = [pipeline_runs["page"]] * 3
+    out = pipe.process_pages(pages)
+    assert len(out) == 3
+    for r in out:
+        assert "columns" in r and "characters" in r and "text" in r
+        assert len(r["characters"]["boxes"]) <= 2000
+        for col in r["columns"]:
+            assert "text" in col and "chars" in col
+    # merged page-frame char boxes stay inside the page
+    b = np.asarray(out[0]["characters"]["boxes"])
+    if len(b):
+        assert (b >= 0).all() and (b[:, [0, 2]] <= 192).all()
