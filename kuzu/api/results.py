@@ -56,6 +56,33 @@ class Boxes:
         )
 
 
+class Masks:
+    """Per-detection binary masks at prototype resolution (reference
+    ``engine/results.py`` Masks; composed by the segment predictor)."""
+
+    def __init__(self, data: np.ndarray, orig_shape: tuple[int, int]):
+        self.data = data  # (n, Hp, Wp) bool
+        self.orig_shape = orig_shape
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def full(self) -> np.ndarray:
+        """Masks resized (nearest) to the original image frame."""
+        import cv2
+
+        h, w = self.orig_shape
+        return np.stack(
+            [
+                cv2.resize(
+                    m.astype(np.uint8), (w, h),
+                    interpolation=cv2.INTER_NEAREST,
+                ).astype(bool)
+                for m in self.data
+            ]
+        ) if len(self.data) else np.zeros((0, h, w), bool)
+
+
 class Results:
     def __init__(
         self,
@@ -64,12 +91,14 @@ class Results:
         names: dict[int, str],
         boxes: Boxes,
         speed: dict[str, float] | None = None,
+        masks: "Masks | None" = None,
     ):
         self.orig_img = orig_img
         self.path = path
         self.names = names
         self.boxes = boxes
         self.speed = speed or {}
+        self.masks = masks
 
     def __len__(self) -> int:
         return len(self.boxes)

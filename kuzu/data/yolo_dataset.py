@@ -473,3 +473,105 @@ class YoloDetectionDataset:
             "gt_labels": out_labels,
             "mask_gt": mask,
         }
+
+
+def read_yolo_segments(path: Path) -> list[tuple[int, np.ndarray]]:
+    """Segment-format labels: ``cls x1 y1 x2 y2 ... xn yn`` (normalized
+    polygon per instance, reference ultralytics segment datasets)."""
+    if not path.exists():
+        return []
+    out = []
+    for line in path.read_text().splitlines():
+        vals = line.split()
+        if len(vals) < 7:  # cls + >=3 points
+            continue
+        cls = int(float(vals[0]))
+        pts = np.asarray(vals[1:], np.float32).reshape(-1, 2)
+        out.append((cls, pts))
+    return out
+
+
+class YoloSegmentDataset(YoloDetectionDataset):
+    """Instance-segmentation samples: polygons -> boxes + overlap-index mask.
+
+    Emits the reference's ``overlap_mask=True`` representation: ONE
+    (H/ratio, W/ratio) int32 map per image where pixel value i+1 marks
+    instance i (``v8SegmentationLoss``, ``utils/loss.py:335-341``) — no
+    (M, H, W) per-instance stack ever materializes.
+
+    Geometric augmentations (mosaic/affine) are disabled for segment in this
+    round — polygons transform under hsv + flips only; the detect pipeline
+    keeps the full recipe.
+    """
+
+    def __init__(self, *args, mask_ratio: int = 4, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.mask_ratio = mask_ratio
+        self.hyp["mosaic"] = 0.0
+
+    def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
+        rng = np.random.default_rng(
+            (self.seed * 1_000_003 + self._epoch * 7919 + idx) % (2**31)
+        )
+        path = self.images[idx]
+        img = cv2.imread(str(path))
+        img = (
+            np.full((self.imgsz, self.imgsz, 3), 114, np.uint8)
+            if img is None
+            else cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        )
+        h, w = img.shape[:2]
+        segs = read_yolo_segments(_label_path(path))
+        polys = [pts * [w, h] for _, pts in segs]
+        labels = np.asarray([c for c, _ in segs], np.int32)
+
+        img, gain, (px, py) = letterbox_np(img, self.imgsz)
+        polys = [p * gain + [px, py] for p in polys]
+        if self.augment:
+            img = hsv_jitter(
+                img, rng, self.hyp["hsv_h"], self.hyp["hsv_s"], self.hyp["hsv_v"]
+            )
+            if rng.uniform() < self.hyp["fliplr"]:
+                img = img[:, ::-1]
+                polys = [
+                    np.stack([img.shape[1] - p[:, 0], p[:, 1]], 1) for p in polys
+                ]
+            if rng.uniform() < self.hyp["flipud"]:
+                img = img[::-1]
+                polys = [
+                    np.stack([p[:, 0], img.shape[0] - p[:, 1]], 1) for p in polys
+                ]
+
+        boxes = np.asarray(
+            [
+                [p[:, 0].min(), p[:, 1].min(), p[:, 0].max(), p[:, 1].max()]
+                for p in polys
+            ],
+            np.float32,
+        ).reshape(-1, 4)
+
+        mh = img.shape[0] // self.mask_ratio
+        mw = img.shape[1] // self.mask_ratio
+        mask = np.zeros((mh, mw), np.int32)
+        for i, p in enumerate(polys[: self.max_boxes]):
+            cv2.fillPoly(
+                mask,
+                [(p / self.mask_ratio).astype(np.int32)],
+                color=int(i + 1),
+            )
+
+        m = self.max_boxes
+        out_boxes = np.zeros((m, 4), np.float32)
+        out_labels = np.zeros((m,), np.int32)
+        n = min(len(boxes), m)
+        out_boxes[:n] = boxes[:n]
+        out_labels[:n] = labels[:n]
+        vmask = np.zeros((m,), bool)
+        vmask[:n] = True
+        return {
+            "image": np.ascontiguousarray(img, np.uint8).astype(np.float32) / 255.0,
+            "gt_boxes": out_boxes,
+            "gt_labels": out_labels,
+            "mask_gt": vmask,
+            "masks": mask,
+        }

@@ -124,8 +124,11 @@ class YoloDetector:
         Anchor grids derive from the actual per-level map shapes, so
         non-square (rect-batched) inputs decode correctly; ``imgsz`` is
         accepted for API compatibility only."""
-        if isinstance(feats, dict):  # v10 dual head: inference = one2one
-            feats = feats["one2one"]
+        if isinstance(feats, dict):
+            if "one2one" in feats:  # v10 dual head: inference = one2one
+                feats = feats["one2one"]
+            else:  # Segment: detect maps ride under 'det'
+                feats = feats["det"]
         box_dist, cls = self.flatten_feats(feats)
         shapes = [(f.shape[1], f.shape[2]) for f in feats]
         anchor_points, stride_t = make_anchors(shapes, self.strides)

@@ -50,6 +50,8 @@ class GraphSpec:
     strides: list[int] = field(default_factory=list)
     legacy_head: bool = False  # v8-style Detect cls branch
     end2end: bool = False  # v10 dual head (NMS-free one2one inference)
+    seg_nm: int = 0  # Segment head: number of mask coefficients (0 = detect)
+    seg_npr: int = 0  # Segment head: prototype channels
 
 
 def parse_model_yaml(
@@ -163,10 +165,20 @@ def parse_model_yaml(
         elif mod == "Concat":
             c2 = sum(ch[f] for f in frm_abs)
             nodes.append(NodeSpec(i, frm_abs, mod, [], c2, s_in, 1))
-        elif mod in ("Detect", "v10Detect"):
+        elif mod in ("Detect", "v10Detect", "Segment"):
             detect_ch = [ch[f] for f in frm_abs]
             det_strides = [strides[f] for f in frm_abs]
-            nodes.append(NodeSpec(i, frm_abs, mod, [nc], 0, s_in, 1))
+            if mod == "Segment":
+                # reference Segment(nc, nm=32, npr=256) — npr width-scales
+                seg_nm = int(args[0]) if args else 32
+                seg_npr = make_divisible(
+                    (int(args[1]) if len(args) > 1 else 256) * width
+                )
+                nodes.append(
+                    NodeSpec(i, frm_abs, mod, [nc, seg_nm, seg_npr], 0, s_in, 1)
+                )
+            else:
+                nodes.append(NodeSpec(i, frm_abs, mod, [nc], 0, s_in, 1))
             save.update(frm_abs)
         else:
             raise ValueError(f"unknown module '{mod}' in model yaml")
@@ -176,6 +188,7 @@ def parse_model_yaml(
     legacy = not any(
         n.module in ("C3k2", "A2C2f", "v10Detect", "PSA") for n in nodes
     )
+    seg = next((n for n in nodes if n.module == "Segment"), None)
     return GraphSpec(
         nc=nc,
         scale=scale,
@@ -185,6 +198,8 @@ def parse_model_yaml(
         strides=det_strides,
         legacy_head=legacy,
         end2end=any(n.module == "v10Detect" for n in nodes),
+        seg_nm=seg.args[1] if seg else 0,
+        seg_npr=seg.args[2] if seg else 0,
     )
 
 
@@ -199,6 +214,14 @@ def resolve_model_spec(name: str) -> tuple[Path, str | None]:
             return cand, None
         raise FileNotFoundError(f"no model yaml '{name}' (looked in {MODEL_DIR})")
     stem = name
+    # task-suffixed variants: 'yolov8n-seg' -> yolov8-seg.yaml, scale 'n'
+    for suffix in ("-seg",):
+        if stem.endswith(suffix):
+            core = stem[: -len(suffix)]
+            if core and core[-1] in "nsmlx":
+                base = MODEL_DIR / f"{core[:-1]}{suffix}.yaml"
+                if base.exists():
+                    return base, core[-1]
     if stem and stem[-1] in "nsmlx":
         base = MODEL_DIR / f"{stem[:-1]}.yaml"
         if base.exists():
@@ -308,6 +331,17 @@ class YoloGraph(nn.Module):
                 result = M.V10Detect(
                     nc=self.spec.nc,
                     ch=tuple(self.spec.detect_ch),
+                    dtype=self.dtype,
+                    name=name,
+                )(ins, train=train)
+                cur = ins[0]
+            elif m == "Segment":
+                result = M.Segment(
+                    nc=self.spec.nc,
+                    ch=tuple(self.spec.detect_ch),
+                    nm=a[1],
+                    npr=a[2],
+                    legacy=self.spec.legacy_head,
                     dtype=self.dtype,
                     name=name,
                 )(ins, train=train)

@@ -413,6 +413,31 @@ def detect(p: _P, feats: list, nc: int, legacy: bool):
     return outs
 
 
+def proto(p: _P, x):
+    """Mask prototype head (``modules.Proto``): conv3 -> 2x up -> conv3 -> conv1."""
+    x = conv(p.child("cv1"), x)
+    x = upsample2x(x)
+    x = conv(p.child("cv2"), x)
+    return conv(p.child("cv3"), x)
+
+
+def segment(p: _P, feats: list, nc: int, legacy: bool, nm: int):
+    """Segment head (``modules.Segment``): Detect + coeff branches + Proto."""
+    protos = proto(p.child("proto"), feats[0])
+    coeffs = []
+    for i, x in enumerate(feats):
+        m = conv(p.child(f"m{i}_0"), x)
+        m = conv(p.child(f"m{i}_1"), m)
+        m = plain_conv(p.params[f"m{i}_2"], m)
+        coeffs.append(m.reshape(m.shape[0], -1, nm))
+    det = detect(p.child("detect"), feats, nc=nc, legacy=legacy)
+    return {
+        "det": det,
+        "coeffs": jnp.concatenate(coeffs, axis=1).astype(jnp.float32),
+        "protos": protos.astype(jnp.float32),
+    }
+
+
 def run_graph(
     spec: Any, variables: dict, images: jnp.ndarray, interpret: bool = False
 ) -> list:
@@ -474,6 +499,11 @@ def run_graph(
             cur = jnp.concatenate(ins, axis=-1)
         elif m == "Detect":
             result = detect(p, ins, nc=spec.nc, legacy=spec.legacy_head)
+            cur = ins[0]
+        elif m == "Segment":
+            result = segment(
+                p, ins, nc=spec.nc, legacy=spec.legacy_head, nm=a[1]
+            )
             cur = ins[0]
         elif m == "v10Detect":
             # inference consumes only the one2one branch (decode drops

@@ -813,3 +813,61 @@ class V10Detect(nn.Module):
             dtype=self.dtype, name="one2one",
         )(detached, train=train)
         return {"one2many": o2m, "one2one": o2o}
+
+
+class Proto(nn.Module):
+    """Mask prototype head (reference ``block.py:78`` Proto): Conv 3x3 ->
+    2x upsample -> Conv 3x3 -> 1x1 to ``nm`` prototype channels. Consumes
+    the P3 map, emits stride-4 prototypes."""
+
+    npr: int = 256
+    nm: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = Conv(self.npr, 3, dtype=self.dtype, name="cv1")(x, train=train)
+        x = upsample2x(x)
+        x = Conv(self.npr, 3, dtype=self.dtype, name="cv2")(x, train=train)
+        return Conv(self.nm, 1, dtype=self.dtype, name="cv3")(x, train=train)
+
+
+class Segment(nn.Module):
+    """Instance-segmentation head (reference ``head.py:175`` Segment):
+    the Detect head plus per-level mask-coefficient branches (cv4) and the
+    shared Proto module over the P3 input.
+
+    Returns ``{"det": [per-level maps], "coeffs": (B, A, nm),
+    "protos": (B, Hp, Wp, nm)}`` — decode/NMS consume ``det`` exactly like
+    a detector; mask composition is sigmoid(coeffs @ protos) per kept box.
+    """
+
+    nc: int
+    ch: Sequence[int]
+    nm: int = 32
+    npr: int = 256
+    reg_max: int = 16
+    legacy: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: list[jnp.ndarray], train: bool = False) -> dict:
+        protos = Proto(self.npr, self.nm, dtype=self.dtype, name="proto")(
+            feats[0], train=train
+        )
+        c4 = max(self.ch[0] // 4, self.nm)
+        coeffs = []
+        for i, x in enumerate(feats):
+            m = Conv(c4, 3, dtype=self.dtype, name=f"m{i}_0")(x, train=train)
+            m = Conv(c4, 3, dtype=self.dtype, name=f"m{i}_1")(m, train=train)
+            m = nn.Conv(self.nm, (1, 1), dtype=self.dtype, name=f"m{i}_2")(m)
+            coeffs.append(m.reshape(m.shape[0], -1, self.nm))
+        det = Detect(
+            self.nc, self.ch, self.reg_max, legacy=self.legacy,
+            dtype=self.dtype, name="detect",
+        )(feats, train=train)
+        return {
+            "det": det,
+            "coeffs": jnp.concatenate(coeffs, axis=1).astype(jnp.float32),
+            "protos": protos.astype(jnp.float32),
+        }

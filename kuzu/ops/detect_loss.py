@@ -41,7 +41,10 @@ def _dfl_loss(
     return (ce_l * wl + ce_r * wr).mean(-1)  # (N,)
 
 
-@partial(jax.jit, static_argnames=("nc", "imgsz", "strides", "topk"))
+@partial(
+    jax.jit,
+    static_argnames=("nc", "imgsz", "strides", "topk", "return_assign"),
+)
 def detection_loss(
     feats: Sequence[jnp.ndarray],  # per-level raw maps (B, H, W, 4*reg_max+nc)
     gt_labels: jnp.ndarray,  # (B, M) int32
@@ -54,7 +57,8 @@ def detection_loss(
     cls_w: float = 0.5,
     dfl_w: float = 1.5,
     topk: int = 10,
-) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
+    return_assign: bool = False,
+):
     B = feats[0].shape[0]
     flat = [f.reshape(B, -1, f.shape[-1]) for f in feats]
     cat = jnp.concatenate(flat, axis=1).astype(jnp.float32)  # (B, A, no)
@@ -116,6 +120,10 @@ def detection_loss(
         "dfl_loss": dfl_loss,
         "num_fg": fg.sum().astype(jnp.float32) / B,
     }
+    if return_assign:
+        # expose the assignment for composite losses (segmentation/pose):
+        # they pair per-anchor predictions with matched GT instances
+        return total, metrics, {**assign, "score_sum": score_sum}
     return total, metrics
 
 

@@ -79,7 +79,7 @@ def batched_suppress(
     jax.jit,
     static_argnames=(
         "iou_threshold", "score_threshold", "max_det", "max_nms",
-        "agnostic", "max_wh", "backend",
+        "agnostic", "max_wh", "backend", "return_indices",
     ),
 )
 def nms_padded_batch(
@@ -94,9 +94,12 @@ def nms_padded_batch(
     agnostic: bool = False,
     max_wh: int = 7680,
     backend: str = "auto",
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    return_indices: bool = False,
+):
     """Batched NMS over padded candidates; returns padded, score-sorted
-    (boxes (B, max_det, 4), scores, classes, valid)."""
+    (boxes (B, max_det, 4), scores, classes, valid) — plus the kept
+    candidates' ORIGINAL input indices when ``return_indices=True``
+    (composite heads gather per-anchor payloads like mask coefficients)."""
     n = boxes.shape[1]
     scores = jnp.where(valid & (scores > score_threshold), scores, -1.0)
     k = min(max_nms, n)
@@ -129,6 +132,12 @@ def nms_padded_batch(
     out_scores = jnp.where(out_valid, out_scores, 0.0)
     out_boxes = jnp.where(out_valid[..., None], out_boxes, 0.0)
     out_classes = jnp.where(out_valid, out_classes, 0)
+    if return_indices:
+        out_idx = jnp.take_along_axis(order, kept_order, axis=1)
+        if max_det > k:
+            out_idx = jnp.pad(out_idx, ((0, 0), (0, max_det - k)))
+        out_idx = jnp.where(out_valid, out_idx, 0)
+        return out_boxes, out_scores, out_classes, out_valid, out_idx
     return out_boxes, out_scores, out_classes, out_valid
 
 
@@ -173,7 +182,7 @@ def nms_padded(
     jax.jit,
     static_argnames=(
         "conf_thres", "iou_thres", "max_det", "max_nms", "agnostic",
-        "multi_label", "in_format",
+        "multi_label", "in_format", "return_indices",
     ),
 )
 def non_max_suppression(
@@ -185,6 +194,7 @@ def non_max_suppression(
     agnostic: bool = False,
     multi_label: bool = False,
     in_format: str = "xywh",
+    return_indices: bool = False,
 ) -> dict[str, jnp.ndarray]:
     """Batched NMS over raw detector output.
 
@@ -219,7 +229,7 @@ def non_max_suppression(
         classes = cls_scores.argmax(axis=-1).astype(jnp.int32)
     valid = jnp.ones(scores.shape, bool)
 
-    ob, os_, oc, ov = nms_padded_batch(
+    out = nms_padded_batch(
         boxes,
         scores,
         classes,
@@ -229,8 +239,19 @@ def non_max_suppression(
         max_det=max_det,
         max_nms=max_nms,
         agnostic=agnostic,
+        return_indices=return_indices,
     )
-    return {"boxes": ob, "scores": os_, "classes": oc, "valid": ov}
+    res = {
+        "boxes": out[0], "scores": out[1], "classes": out[2], "valid": out[3],
+    }
+    if return_indices:
+        # candidate index -> anchor index (multi_label flattens (A, nc))
+        idx = out[4]
+        res["indices"] = (
+            idx // cls_scores.shape[-1]
+            if multi_label and cls_scores.shape[-1] > 1 else idx
+        )
+    return res
 
 
 def nms_free_select(

@@ -6,5 +6,6 @@ import kuzu.tasks.ctc  # noqa: F401
 import kuzu.tasks.detect  # noqa: F401
 import kuzu.tasks.lm  # noqa: F401
 import kuzu.tasks.recognize  # noqa: F401
+import kuzu.tasks.segment  # noqa: F401
 
 __all__ = []

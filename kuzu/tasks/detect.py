@@ -362,18 +362,21 @@ class DetectPredictor:
             boxes = (boxes - [px, py, px, py]) / gain
             boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, w)
             boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h)
-            results.append(
-                Results(
-                    orig_img=frames[i].image,
-                    path=frames[i].path,
-                    names=names,
-                    boxes=Boxes(
-                        boxes, out["scores"][i][valid], out["classes"][i][valid], (h, w)
-                    ),
-                    speed={"inference_ms": infer_ms},
-                )
+            r = Results(
+                orig_img=frames[i].image,
+                path=frames[i].path,
+                names=names,
+                boxes=Boxes(
+                    boxes, out["scores"][i][valid], out["classes"][i][valid], (h, w)
+                ),
+                speed={"inference_ms": infer_ms},
             )
+            self._attach_extras(r, out, i, valid, (h, w))
+            results.append(r)
         return results
+
+    def _attach_extras(self, result, out, i, valid, orig_shape) -> None:
+        """Hook for composite heads (segment masks, pose keypoints)."""
 
 
 from kuzu.api.export import Exporter as _Exporter  # noqa: E402
