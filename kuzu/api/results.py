@@ -99,6 +99,7 @@ class Results:
         self.boxes = boxes
         self.speed = speed or {}
         self.masks = masks
+        self.keypoints = None  # set by the pose predictor
 
     def __len__(self) -> int:
         return len(self.boxes)

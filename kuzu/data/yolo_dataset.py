@@ -32,13 +32,18 @@ def load_dataset_yaml(path: str | Path) -> dict:
     names = d.get("names", {})
     if isinstance(names, list):
         names = dict(enumerate(names))
-    return {
+    out = {
         "root": root,
         "train": d.get("train", "images/train"),
         "val": d.get("val", "images/val"),
         "names": {int(k): v for k, v in names.items()},
         "nc": int(d.get("nc", len(names) or 1)),
     }
+    # task extras pass through (pose kpt_shape/flip_idx, segment options)
+    for k in ("kpt_shape", "flip_idx", "test"):
+        if k in d:
+            out[k] = d[k]
+    return out
 
 
 def _label_path(img_path: Path) -> Path:
@@ -574,4 +579,91 @@ class YoloSegmentDataset(YoloDetectionDataset):
             "gt_labels": out_labels,
             "mask_gt": vmask,
             "masks": mask,
+        }
+
+
+class YoloPoseDataset(YoloDetectionDataset):
+    """Keypoint samples: ``cls cx cy w h (x y v)*K`` rows (normalized, the
+    ultralytics pose label format). Emits padded (max_boxes, K, 3) pixel
+    keypoints alongside the detect fields. Geometric augmentations beyond
+    flips are disabled (like segment); fliplr respects ``flip_idx`` when
+    the spec provides one (left/right keypoint swaps)."""
+
+    def __init__(self, *args, kpt_shape: tuple[int, int] = (17, 3), **kwargs):
+        super().__init__(*args, **kwargs)
+        self.kpt_shape = tuple(
+            self.spec.get("kpt_shape", kpt_shape)
+        )
+        self.flip_idx = list(self.spec.get("flip_idx", []))
+        self.hyp["mosaic"] = 0.0
+
+    def _load_pose(self, idx):
+        path = self.images[idx]
+        img = cv2.imread(str(path))
+        img = (
+            np.full((self.imgsz, self.imgsz, 3), 114, np.uint8)
+            if img is None
+            else cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        )
+        h, w = img.shape[:2]
+        K, D = self.kpt_shape
+        labels, boxes, kpts = [], [], []
+        lp = _label_path(path)
+        if lp.exists():
+            for line in lp.read_text().splitlines():
+                vals = np.asarray(line.split(), np.float32)
+                if len(vals) != 5 + K * D:
+                    continue
+                labels.append(int(vals[0]))
+                cx, cy, bw, bh = vals[1:5] * [w, h, w, h]
+                boxes.append([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2])
+                kp = vals[5:].reshape(K, D)
+                kp[:, 0] *= w
+                kp[:, 1] *= h
+                kpts.append(kp)
+        return (
+            img,
+            np.asarray(boxes, np.float32).reshape(-1, 4),
+            np.asarray(labels, np.int32),
+            np.asarray(kpts, np.float32).reshape(-1, K, D),
+        )
+
+    def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
+        rng = np.random.default_rng(
+            (self.seed * 1_000_003 + self._epoch * 7919 + idx) % (2**31)
+        )
+        img, boxes, labels, kpts = self._load_pose(idx)
+        img, gain, (px, py) = letterbox_np(img, self.imgsz)
+        if len(boxes):
+            boxes = boxes * gain + [px, py, px, py]
+            kpts[..., 0] = kpts[..., 0] * gain + px
+            kpts[..., 1] = kpts[..., 1] * gain + py
+        if self.augment:
+            img = hsv_jitter(
+                img, rng, self.hyp["hsv_h"], self.hyp["hsv_s"], self.hyp["hsv_v"]
+            )
+            if rng.uniform() < self.hyp["fliplr"]:
+                img = img[:, ::-1]
+                if len(boxes):
+                    boxes[:, [0, 2]] = img.shape[1] - boxes[:, [2, 0]]
+                    kpts[..., 0] = img.shape[1] - kpts[..., 0]
+                    if self.flip_idx:
+                        kpts = kpts[:, self.flip_idx]
+        K, D = self.kpt_shape
+        m = self.max_boxes
+        out_boxes = np.zeros((m, 4), np.float32)
+        out_labels = np.zeros((m,), np.int32)
+        out_kpts = np.zeros((m, K, D), np.float32)
+        n = min(len(boxes), m)
+        out_boxes[:n] = boxes[:n]
+        out_labels[:n] = labels[:n]
+        out_kpts[:n] = kpts[:n]
+        vmask = np.zeros((m,), bool)
+        vmask[:n] = True
+        return {
+            "image": np.ascontiguousarray(img, np.uint8).astype(np.float32) / 255.0,
+            "gt_boxes": out_boxes,
+            "gt_labels": out_labels,
+            "mask_gt": vmask,
+            "gt_kpts": out_kpts,
         }

@@ -52,6 +52,7 @@ class GraphSpec:
     end2end: bool = False  # v10 dual head (NMS-free one2one inference)
     seg_nm: int = 0  # Segment head: number of mask coefficients (0 = detect)
     seg_npr: int = 0  # Segment head: prototype channels
+    kpt_shape: tuple[int, int] | None = None  # Pose head (K, D)
 
 
 def parse_model_yaml(
@@ -165,10 +166,15 @@ def parse_model_yaml(
         elif mod == "Concat":
             c2 = sum(ch[f] for f in frm_abs)
             nodes.append(NodeSpec(i, frm_abs, mod, [], c2, s_in, 1))
-        elif mod in ("Detect", "v10Detect", "Segment"):
+        elif mod in ("Detect", "v10Detect", "Segment", "Pose"):
             detect_ch = [ch[f] for f in frm_abs]
             det_strides = [strides[f] for f in frm_abs]
-            if mod == "Segment":
+            if mod == "Pose":
+                ks = tuple(args[0]) if args else (17, 3)
+                nodes.append(
+                    NodeSpec(i, frm_abs, mod, [nc, list(ks)], 0, s_in, 1)
+                )
+            elif mod == "Segment":
                 # reference Segment(nc, nm=32, npr=256) — npr width-scales
                 seg_nm = int(args[0]) if args else 32
                 seg_npr = make_divisible(
@@ -189,6 +195,7 @@ def parse_model_yaml(
         n.module in ("C3k2", "A2C2f", "v10Detect", "PSA") for n in nodes
     )
     seg = next((n for n in nodes if n.module == "Segment"), None)
+    pose = next((n for n in nodes if n.module == "Pose"), None)
     return GraphSpec(
         nc=nc,
         scale=scale,
@@ -200,6 +207,7 @@ def parse_model_yaml(
         end2end=any(n.module == "v10Detect" for n in nodes),
         seg_nm=seg.args[1] if seg else 0,
         seg_npr=seg.args[2] if seg else 0,
+        kpt_shape=tuple(pose.args[1]) if pose else None,
     )
 
 
@@ -215,7 +223,7 @@ def resolve_model_spec(name: str) -> tuple[Path, str | None]:
         raise FileNotFoundError(f"no model yaml '{name}' (looked in {MODEL_DIR})")
     stem = name
     # task-suffixed variants: 'yolov8n-seg' -> yolov8-seg.yaml, scale 'n'
-    for suffix in ("-seg",):
+    for suffix in ("-seg", "-pose"):
         if stem.endswith(suffix):
             core = stem[: -len(suffix)]
             if core and core[-1] in "nsmlx":
@@ -331,6 +339,16 @@ class YoloGraph(nn.Module):
                 result = M.V10Detect(
                     nc=self.spec.nc,
                     ch=tuple(self.spec.detect_ch),
+                    dtype=self.dtype,
+                    name=name,
+                )(ins, train=train)
+                cur = ins[0]
+            elif m == "Pose":
+                result = M.Pose(
+                    nc=self.spec.nc,
+                    ch=tuple(self.spec.detect_ch),
+                    kpt_shape=tuple(a[1]),
+                    legacy=self.spec.legacy_head,
                     dtype=self.dtype,
                     name=name,
                 )(ins, train=train)

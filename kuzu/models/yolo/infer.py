@@ -438,6 +438,24 @@ def segment(p: _P, feats: list, nc: int, legacy: bool, nm: int):
     }
 
 
+def pose(p: _P, feats: list, nc: int, legacy: bool, kpt_shape):
+    """Pose head (``modules.Pose``): Detect + keypoint branches."""
+    K, D = kpt_shape
+    nk = K * D
+    kpts = []
+    for i, x in enumerate(feats):
+        m = conv(p.child(f"k{i}_0"), x)
+        m = conv(p.child(f"k{i}_1"), m)
+        m = plain_conv(p.params[f"k{i}_2"], m)
+        kpts.append(m.reshape(m.shape[0], -1, nk))
+    det = detect(p.child("detect"), feats, nc=nc, legacy=legacy)
+    raw = jnp.concatenate(kpts, axis=1).astype(jnp.float32)
+    return {
+        "det": det,
+        "kpts_raw": raw.reshape(raw.shape[0], raw.shape[1], K, D),
+    }
+
+
 def run_graph(
     spec: Any, variables: dict, images: jnp.ndarray, interpret: bool = False
 ) -> list:
@@ -503,6 +521,12 @@ def run_graph(
         elif m == "Segment":
             result = segment(
                 p, ins, nc=spec.nc, legacy=spec.legacy_head, nm=a[1]
+            )
+            cur = ins[0]
+        elif m == "Pose":
+            result = pose(
+                p, ins, nc=spec.nc, legacy=spec.legacy_head,
+                kpt_shape=tuple(a[1]),
             )
             cur = ins[0]
         elif m == "v10Detect":

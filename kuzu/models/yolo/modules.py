@@ -871,3 +871,49 @@ class Segment(nn.Module):
             "coeffs": jnp.concatenate(coeffs, axis=1).astype(jnp.float32),
             "protos": protos.astype(jnp.float32),
         }
+
+
+class Pose(nn.Module):
+    """Keypoint head (reference ``head.py:230`` Pose): Detect plus per-level
+    keypoint branches predicting ``kpt_shape = (K, D)`` values per anchor
+    (D=3: x, y, visibility logit). Returns ``{"det": [...], "kpts_raw":
+    (B, A, K, D)}``; decode (anchor-relative xy*2 + anchor - 0.5, reference
+    ``v8PoseLoss.kpts_decode``) happens in the loss/predictor so train and
+    inference share one forward."""
+
+    nc: int
+    ch: Sequence[int]
+    kpt_shape: tuple[int, int] = (17, 3)
+    reg_max: int = 16
+    legacy: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: list[jnp.ndarray], train: bool = False) -> dict:
+        nk = self.kpt_shape[0] * self.kpt_shape[1]
+        c4 = max(self.ch[0] // 4, nk)
+        kpts = []
+        for i, x in enumerate(feats):
+            m = Conv(c4, 3, dtype=self.dtype, name=f"k{i}_0")(x, train=train)
+            m = Conv(c4, 3, dtype=self.dtype, name=f"k{i}_1")(m, train=train)
+            m = nn.Conv(nk, (1, 1), dtype=self.dtype, name=f"k{i}_2")(m)
+            kpts.append(m.reshape(m.shape[0], -1, nk))
+        det = Detect(
+            self.nc, self.ch, self.reg_max, legacy=self.legacy,
+            dtype=self.dtype, name="detect",
+        )(feats, train=train)
+        raw = jnp.concatenate(kpts, axis=1).astype(jnp.float32)
+        return {
+            "det": det,
+            "kpts_raw": raw.reshape(raw.shape[0], raw.shape[1], *self.kpt_shape),
+        }
+
+
+def kpts_decode(
+    anchor_points: jnp.ndarray, kpts_raw: jnp.ndarray
+) -> jnp.ndarray:
+    """Anchor-relative keypoint decode in grid units (reference
+    ``v8PoseLoss.kpts_decode``): xy*2 + anchor - 0.5; extra dims pass
+    through (visibility logits)."""
+    xy = kpts_raw[..., :2] * 2.0 + (anchor_points[None, :, None, :] - 0.5)
+    return jnp.concatenate([xy, kpts_raw[..., 2:]], axis=-1)

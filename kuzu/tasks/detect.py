@@ -83,8 +83,8 @@ class DetectTrainer(BaseTrainer):
         self.imgsz = int(cfg.get("imgsz", 640))
         name = str(cfg.get("model") or "yolov12n")
         self.detector = YoloDetector(
-            name, nc=self.data_spec["nc"], dtype=dtype, imgsz=self.imgsz,
-            remat=bool(cfg.get("remat", False)),
+            self._resolve_model(name), nc=self.data_spec["nc"], dtype=dtype,
+            imgsz=self.imgsz, remat=bool(cfg.get("remat", False)),
         )
         variables = self.detector.init(
             jax.random.key(int(cfg.get("seed", 0))), imgsz=self.imgsz
@@ -104,6 +104,11 @@ class DetectTrainer(BaseTrainer):
             LOGGER.info(f"pretrained graft: {n}/{t} tensors from {pre}")
             return grafted
         return variables["params"]
+
+    def _resolve_model(self, name: str):
+        """Hook: tasks may patch the parsed spec (e.g. pose kpt_shape from
+        the dataset yaml, reference PoseModel data override)."""
+        return name
 
     def _init_model_state(self):
         return self._model_state
@@ -277,7 +282,10 @@ class DetectPredictor:
         data_spec = load_dataset_yaml(train_cfg.data)
         self.names = data_spec.get("names", {})
         arch = str(train_cfg.get("model") or "yolov12n")
-        self.detector = YoloDetector(arch, nc=data_spec["nc"], imgsz=self.imgsz)
+        self.detector = YoloDetector(
+            self._resolve_arch(arch, data_spec), nc=data_spec["nc"],
+            imgsz=self.imgsz,
+        )
         variables = self.detector.init(jax.random.key(0), imgsz=self.imgsz)
         model_state = {k: v for k, v in variables.items() if k != "params"}
         state = init_state(
@@ -309,6 +317,10 @@ class DetectPredictor:
         self._fwd_jit = jax.jit(_fwd)
         self._fwd = lambda images: self._fwd_jit(self.variables, images)
         self.ready = True
+
+    def _resolve_arch(self, name: str, data_spec: dict):
+        """Hook mirroring ``DetectTrainer._resolve_model`` (pose kpt_shape)."""
+        return name
 
     def __call__(self, source, max_frames: int | None = None) -> list[dict]:
         """Predict over any source: image path(s)/array(s), directory, glob,
@@ -371,12 +383,16 @@ class DetectPredictor:
                 ),
                 speed={"inference_ms": infer_ms},
             )
-            self._attach_extras(r, out, i, valid, (h, w))
+            self._attach_extras(r, out, i, valid, (h, w), gain, (px, py))
             results.append(r)
         return results
 
-    def _attach_extras(self, result, out, i, valid, orig_shape) -> None:
-        """Hook for composite heads (segment masks, pose keypoints)."""
+    def _attach_extras(
+        self, result, out, i, valid, orig_shape, gain, pad
+    ) -> None:
+        """Hook for composite heads (segment masks, pose keypoints):
+        receives the letterbox geometry so extras rescale into the
+        original frame like the boxes do."""
 
 
 from kuzu.api.export import Exporter as _Exporter  # noqa: E402

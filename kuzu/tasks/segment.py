@@ -133,10 +133,23 @@ class SegmentPredictor(DetectPredictor):
         self._fwd_jit = jax.jit(_fwd)
         self._fwd = lambda images: self._fwd_jit(self.variables, images)
 
-    def _attach_extras(self, result, out, i, valid, orig_shape) -> None:
+    def _attach_extras(self, result, out, i, valid, orig_shape, gain, pad) -> None:
         from kuzu.api.results import Masks
 
-        result.masks = Masks(np.asarray(out["masks"][i][valid]), orig_shape)
+        m = np.asarray(out["masks"][i][valid])  # proto res over the
+        # letterboxed square; crop to the content region so Masks.full()
+        # maps onto the original frame
+        if len(m):
+            Hp, Wp = m.shape[1:]
+            px, py = pad
+            h, w = orig_shape
+            sx, sy = Wp / (self.imgsz / 1.0), Hp / (self.imgsz / 1.0)
+            x1 = int(round(px * sx))
+            y1 = int(round(py * sy))
+            x2 = max(x1 + 1, int(round((px + w * gain) * sx)))
+            y2 = max(y1 + 1, int(round((py + h * gain) * sy)))
+            m = m[:, y1:y2, x1:x2]
+        result.masks = Masks(m, orig_shape)
 
 
 class SegmentValidator(DetectValidator):
