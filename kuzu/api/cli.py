@@ -13,7 +13,7 @@ from kuzu.api.model import Model
 from kuzu.core.config import load_config
 
 MODES = ("train", "val", "predict", "track", "tune", "export", "benchmark")
-TASKS = ("detect", "segment", "pose", "recognize", "classify", "lm", "ctc")
+TASKS = ("detect", "segment", "pose", "obb", "recognize", "classify", "lm", "ctc")
 
 HELP = f"""kuzu CLI
 usage: python -m kuzu.api.cli <mode> [<task>] key=value ...

@@ -667,3 +667,75 @@ class YoloPoseDataset(YoloDetectionDataset):
             "mask_gt": vmask,
             "gt_kpts": out_kpts,
         }
+
+
+def read_yolo_obb(path: Path) -> tuple[np.ndarray, np.ndarray]:
+    """OBB labels (DOTA/ultralytics format): ``cls x1 y1 ... x4 y4``
+    normalized corner points -> (labels (N,), rboxes (N, 5) normalized
+    xywhr with angle in radians)."""
+    if not path.exists():
+        return np.zeros((0,), np.int32), np.zeros((0, 5), np.float32)
+    labels, rboxes = [], []
+    for line in path.read_text().splitlines():
+        vals = line.split()
+        if len(vals) != 9:
+            continue
+        labels.append(int(float(vals[0])))
+        pts = np.asarray(vals[1:], np.float32).reshape(4, 2)
+        ctr = pts.mean(0)
+        e1 = pts[1] - pts[0]
+        e2 = pts[3] - pts[0]
+        w, h = float(np.hypot(*e1)), float(np.hypot(*e2))
+        r = float(np.arctan2(e1[1], e1[0]))
+        # canonicalize into [-pi/4, 3pi/4) (the head's range)
+        while r >= 3 * np.pi / 4:
+            r -= np.pi
+        while r < -np.pi / 4:
+            r += np.pi
+        rboxes.append([ctr[0], ctr[1], w, h, r])
+    return np.asarray(labels, np.int32), np.asarray(rboxes, np.float32)
+
+
+class YoloOBBDataset(YoloDetectionDataset):
+    """Oriented-box samples: corner labels -> padded (max_boxes, 5) xywhr
+    pixel targets. hsv-only augmentation (flips would need angle care)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.hyp["mosaic"] = 0.0
+
+    def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
+        rng = np.random.default_rng(
+            (self.seed * 1_000_003 + self._epoch * 7919 + idx) % (2**31)
+        )
+        path = self.images[idx]
+        img = cv2.imread(str(path))
+        img = (
+            np.full((self.imgsz, self.imgsz, 3), 114, np.uint8)
+            if img is None
+            else cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        )
+        h, w = img.shape[:2]
+        labels, rb = read_yolo_obb(_label_path(path))
+        rb = rb * [w, h, w, h, 1.0] if len(rb) else rb
+        img, gain, (px, py) = letterbox_np(img, self.imgsz)
+        if len(rb):
+            rb = rb * [gain, gain, gain, gain, 1.0] + [px, py, 0, 0, 0]
+        if self.augment:
+            img = hsv_jitter(
+                img, rng, self.hyp["hsv_h"], self.hyp["hsv_s"], self.hyp["hsv_v"]
+            )
+        m = self.max_boxes
+        out_rb = np.zeros((m, 5), np.float32)
+        out_labels = np.zeros((m,), np.int32)
+        n = min(len(rb), m)
+        out_rb[:n] = rb[:n]
+        out_labels[:n] = labels[:n]
+        vmask = np.zeros((m,), bool)
+        vmask[:n] = True
+        return {
+            "image": np.ascontiguousarray(img, np.uint8).astype(np.float32) / 255.0,
+            "gt_rboxes": out_rb,
+            "gt_labels": out_labels,
+            "mask_gt": vmask,
+        }

@@ -53,6 +53,7 @@ class GraphSpec:
     seg_nm: int = 0  # Segment head: number of mask coefficients (0 = detect)
     seg_npr: int = 0  # Segment head: prototype channels
     kpt_shape: tuple[int, int] | None = None  # Pose head (K, D)
+    obb: bool = False  # OBB head (rotated boxes)
 
 
 def parse_model_yaml(
@@ -166,10 +167,13 @@ def parse_model_yaml(
         elif mod == "Concat":
             c2 = sum(ch[f] for f in frm_abs)
             nodes.append(NodeSpec(i, frm_abs, mod, [], c2, s_in, 1))
-        elif mod in ("Detect", "v10Detect", "Segment", "Pose"):
+        elif mod in ("Detect", "v10Detect", "Segment", "Pose", "OBB"):
             detect_ch = [ch[f] for f in frm_abs]
             det_strides = [strides[f] for f in frm_abs]
-            if mod == "Pose":
+            if mod == "OBB":
+                ne = int(args[0]) if args else 1
+                nodes.append(NodeSpec(i, frm_abs, mod, [nc, ne], 0, s_in, 1))
+            elif mod == "Pose":
                 ks = tuple(args[0]) if args else (17, 3)
                 nodes.append(
                     NodeSpec(i, frm_abs, mod, [nc, list(ks)], 0, s_in, 1)
@@ -208,6 +212,7 @@ def parse_model_yaml(
         seg_nm=seg.args[1] if seg else 0,
         seg_npr=seg.args[2] if seg else 0,
         kpt_shape=tuple(pose.args[1]) if pose else None,
+        obb=any(n.module == "OBB" for n in nodes),
     )
 
 
@@ -223,7 +228,7 @@ def resolve_model_spec(name: str) -> tuple[Path, str | None]:
         raise FileNotFoundError(f"no model yaml '{name}' (looked in {MODEL_DIR})")
     stem = name
     # task-suffixed variants: 'yolov8n-seg' -> yolov8-seg.yaml, scale 'n'
-    for suffix in ("-seg", "-pose"):
+    for suffix in ("-seg", "-pose", "-obb"):
         if stem.endswith(suffix):
             core = stem[: -len(suffix)]
             if core and core[-1] in "nsmlx":
@@ -339,6 +344,16 @@ class YoloGraph(nn.Module):
                 result = M.V10Detect(
                     nc=self.spec.nc,
                     ch=tuple(self.spec.detect_ch),
+                    dtype=self.dtype,
+                    name=name,
+                )(ins, train=train)
+                cur = ins[0]
+            elif m == "OBB":
+                result = M.OBB(
+                    nc=self.spec.nc,
+                    ch=tuple(self.spec.detect_ch),
+                    ne=a[1],
+                    legacy=self.spec.legacy_head,
                     dtype=self.dtype,
                     name=name,
                 )(ins, train=train)

@@ -456,6 +456,21 @@ def pose(p: _P, feats: list, nc: int, legacy: bool, kpt_shape):
     }
 
 
+def obb(p: _P, feats: list, nc: int, legacy: bool, ne: int):
+    """OBB head (``modules.OBB``): Detect + angle branches."""
+    import math
+
+    angles = []
+    for i, x in enumerate(feats):
+        m = conv(p.child(f"a{i}_0"), x)
+        m = conv(p.child(f"a{i}_1"), m)
+        m = plain_conv(p.params[f"a{i}_2"], m)
+        angles.append(m.reshape(m.shape[0], -1, ne))
+    det = detect(p.child("detect"), feats, nc=nc, legacy=legacy)
+    raw = jnp.concatenate(angles, axis=1).astype(jnp.float32)
+    return {"det": det, "angle": (jax.nn.sigmoid(raw) - 0.25) * math.pi}
+
+
 def run_graph(
     spec: Any, variables: dict, images: jnp.ndarray, interpret: bool = False
 ) -> list:
@@ -522,6 +537,9 @@ def run_graph(
             result = segment(
                 p, ins, nc=spec.nc, legacy=spec.legacy_head, nm=a[1]
             )
+            cur = ins[0]
+        elif m == "OBB":
+            result = obb(p, ins, nc=spec.nc, legacy=spec.legacy_head, ne=a[1])
             cur = ins[0]
         elif m == "Pose":
             result = pose(

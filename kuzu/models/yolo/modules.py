@@ -917,3 +917,33 @@ def kpts_decode(
     through (visibility logits)."""
     xy = kpts_raw[..., :2] * 2.0 + (anchor_points[None, :, None, :] - 0.5)
     return jnp.concatenate([xy, kpts_raw[..., 2:]], axis=-1)
+
+
+class OBB(nn.Module):
+    """Oriented-detection head (reference ``head.py:200`` OBB): Detect plus
+    per-level angle branches; theta = (sigmoid - 0.25) * pi in
+    [-pi/4, 3pi/4]. Returns ``{"det": [...], "angle": (B, A, ne)}``."""
+
+    nc: int
+    ch: Sequence[int]
+    ne: int = 1
+    reg_max: int = 16
+    legacy: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: list[jnp.ndarray], train: bool = False) -> dict:
+        c4 = max(self.ch[0] // 4, self.ne)
+        angles = []
+        for i, x in enumerate(feats):
+            m = Conv(c4, 3, dtype=self.dtype, name=f"a{i}_0")(x, train=train)
+            m = Conv(c4, 3, dtype=self.dtype, name=f"a{i}_1")(m, train=train)
+            m = nn.Conv(self.ne, (1, 1), dtype=self.dtype, name=f"a{i}_2")(m)
+            angles.append(m.reshape(m.shape[0], -1, self.ne))
+        det = Detect(
+            self.nc, self.ch, self.reg_max, legacy=self.legacy,
+            dtype=self.dtype, name="detect",
+        )(feats, train=train)
+        raw = jnp.concatenate(angles, axis=1).astype(jnp.float32)
+        angle = (jax.nn.sigmoid(raw) - 0.25) * math.pi
+        return {"det": det, "angle": angle}

@@ -35,30 +35,45 @@ def anchors_in_gts(
     )
 
 
-@partial(jax.jit, static_argnames=("topk", "num_classes"))
+@partial(jax.jit, static_argnames=("topk", "num_classes", "rotated"))
 def task_aligned_assign(
     pd_scores: jnp.ndarray,  # (B, A, nc) sigmoid probabilities
-    pd_bboxes: jnp.ndarray,  # (B, A, 4) xyxy pixels
+    pd_bboxes: jnp.ndarray,  # (B, A, 4) xyxy px — or (B, A, 5) xywhr rotated
     anc_points: jnp.ndarray,  # (A, 2) pixels
     gt_labels: jnp.ndarray,  # (B, M) int32
-    gt_bboxes: jnp.ndarray,  # (B, M, 4) xyxy pixels (0 rows for padding)
+    gt_bboxes: jnp.ndarray,  # (B, M, 4|5) pixels (0 rows for padding)
     mask_gt: jnp.ndarray,  # (B, M) bool
     topk: int = 10,
     num_classes: int = 80,
     alpha: float = 0.5,
     beta: float = 6.0,
+    rotated: bool = False,
 ) -> dict[str, jnp.ndarray]:
+    """``rotated=True`` switches to the reference
+    ``RotatedTaskAlignedAssigner`` (``tal.py:298``): probIoU overlaps and
+    a point-in-rotated-box candidate gate; boxes are (..., 5) xywhr."""
     B, A, nc = pd_scores.shape
     M = gt_labels.shape[1]
 
-    in_gts = anchors_in_gts(anc_points, gt_bboxes)  # (B, M, A)
-    valid = in_gts & mask_gt[..., None]
+    if rotated:
+        from kuzu.ops.obb import anchors_in_rboxes, probiou
 
-    # CIoU(gt, pred) per pair
-    overlaps = bbox_iou(
-        gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], ciou=True
-    )
-    overlaps = jnp.clip(jnp.squeeze(overlaps, -1) if overlaps.ndim == 4 else overlaps, 0.0, None)
+        in_gts = anchors_in_rboxes(anc_points, gt_bboxes)
+        overlaps = jnp.clip(
+            probiou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :]), 0.0
+        )
+    else:
+        in_gts = anchors_in_gts(anc_points, gt_bboxes)  # (B, M, A)
+        # CIoU(gt, pred) per pair
+        overlaps = bbox_iou(
+            gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], ciou=True
+        )
+        overlaps = jnp.clip(
+            jnp.squeeze(overlaps, -1) if overlaps.ndim == 4 else overlaps,
+            0.0,
+            None,
+        )
+    valid = in_gts & mask_gt[..., None]
     # scores of each anchor at the GT's class
     cls_idx = jnp.clip(gt_labels, 0, nc - 1)  # (B, M)
     bbox_scores = jnp.take_along_axis(

@@ -6,6 +6,7 @@ import kuzu.tasks.ctc  # noqa: F401
 import kuzu.tasks.detect  # noqa: F401
 import kuzu.tasks.lm  # noqa: F401
 import kuzu.tasks.recognize  # noqa: F401
+import kuzu.tasks.obb  # noqa: F401
 import kuzu.tasks.pose  # noqa: F401
 import kuzu.tasks.segment  # noqa: F401
 
