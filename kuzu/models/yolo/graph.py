@@ -54,6 +54,7 @@ class GraphSpec:
     seg_npr: int = 0  # Segment head: prototype channels
     kpt_shape: tuple[int, int] | None = None  # Pose head (K, D)
     obb: bool = False  # OBB head (rotated boxes)
+    classify: bool = False  # Classify head (plain logits)
 
 
 def parse_model_yaml(
@@ -167,6 +168,8 @@ def parse_model_yaml(
         elif mod == "Concat":
             c2 = sum(ch[f] for f in frm_abs)
             nodes.append(NodeSpec(i, frm_abs, mod, [], c2, s_in, 1))
+        elif mod == "Classify":
+            nodes.append(NodeSpec(i, frm_abs, mod, [nc], 0, s_in, 1))
         elif mod in ("Detect", "v10Detect", "Segment", "Pose", "OBB"):
             detect_ch = [ch[f] for f in frm_abs]
             det_strides = [strides[f] for f in frm_abs]
@@ -213,6 +216,7 @@ def parse_model_yaml(
         seg_npr=seg.args[2] if seg else 0,
         kpt_shape=tuple(pose.args[1]) if pose else None,
         obb=any(n.module == "OBB" for n in nodes),
+        classify=any(n.module == "Classify" for n in nodes),
     )
 
 
@@ -228,7 +232,7 @@ def resolve_model_spec(name: str) -> tuple[Path, str | None]:
         raise FileNotFoundError(f"no model yaml '{name}' (looked in {MODEL_DIR})")
     stem = name
     # task-suffixed variants: 'yolov8n-seg' -> yolov8-seg.yaml, scale 'n'
-    for suffix in ("-seg", "-pose", "-obb"):
+    for suffix in ("-seg", "-pose", "-obb", "-cls"):
         if stem.endswith(suffix):
             core = stem[: -len(suffix)]
             if core and core[-1] in "nsmlx":
@@ -347,6 +351,11 @@ class YoloGraph(nn.Module):
                     dtype=self.dtype,
                     name=name,
                 )(ins, train=train)
+                cur = ins[0]
+            elif m == "Classify":
+                result = M.Classify(
+                    c2=self.spec.nc, dtype=self.dtype, name=name
+                )(ins[0], train=train)
                 cur = ins[0]
             elif m == "OBB":
                 result = M.OBB(

@@ -947,3 +947,17 @@ class OBB(nn.Module):
         raw = jnp.concatenate(angles, axis=1).astype(jnp.float32)
         angle = (jax.nn.sigmoid(raw) - 0.25) * math.pi
         return {"det": det, "angle": angle}
+
+
+class Classify(nn.Module):
+    """Classification head (reference ``head.py:282`` Classify): 1x1 Conv to
+    1280 channels, global average pool, linear to ``c2`` logits."""
+
+    c2: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = Conv(1280, 1, dtype=self.dtype, name="conv")(x, train=train)
+        x = x.mean(axis=(1, 2))
+        return nn.Dense(self.c2, dtype=jnp.float32, name="linear")(x)

@@ -29,7 +29,11 @@ class ClassifyTrainer(BaseTrainer):
         cfg = self.cfg
         root = Path(cfg.data)
         imgsz = int(cfg.get("imgsz", 128))
-        channels = int(cfg.get("channels", 1))
+        # YOLO-cls backbones are RGB; SimpleViT glyphs default to grayscale
+        channels = (
+            3 if self._is_yolo(cfg.get("model"))
+            else int(cfg.get("channels", 1))
+        )
         train_root = root / "train" if (root / "train").exists() else root
         val_root = root / "val" if (root / "val").exists() else train_root
         self.train_ds = GlyphFolderDataset(train_root, imgsz, channels)
@@ -54,9 +58,36 @@ class ClassifyTrainer(BaseTrainer):
         )
         return loader, val_loader
 
+    @staticmethod
+    def _is_yolo(name: str | None) -> bool:
+        return bool(name) and ("-cls" in str(name))
+
     def build_model(self) -> Any:
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.get("dtype") == "bfloat16" else jnp.float32
+        self._model_state = None
+        if self._is_yolo(cfg.get("model")):
+            # YOLO-backbone classifier (reference ClassificationModel,
+            # nn/tasks.py + Classify head) — BatchNorm stats ride in
+            # model_state like the detect tasks
+            from kuzu.models.yolo.graph import (
+                YoloGraph, parse_model_yaml, resolve_model_spec,
+            )
+
+            path, scale = resolve_model_spec(str(cfg.get("model")))
+            spec = parse_model_yaml(
+                path, scale=scale, nc=self.train_ds.num_classes
+            )
+            self.model = YoloGraph(spec, dtype=dtype)
+            imgsz = int(cfg.get("imgsz", 128))
+            sample = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
+            variables = jax.jit(
+                lambda r: self.model.init(r, sample, train=False)
+            )(jax.random.key(int(cfg.get("seed", 0))))
+            self._model_state = {
+                k: v for k, v in variables.items() if k != "params"
+            }
+            return variables["params"]
         self.model = SimpleViT(
             num_classes=self.train_ds.num_classes,
             image_size=(int(cfg.get("imgsz", 128)),) * 2,
@@ -73,10 +104,10 @@ class ClassifyTrainer(BaseTrainer):
         variables = self.model.init(jax.random.key(int(cfg.get("seed", 0))), sample)
         return variables["params"]
 
-    def loss_fn(self, params, batch, rng):
-        logits = self.model.apply(
-            {"params": params}, batch["image"], train=True, rngs={"dropout": rng}
-        )
+    def _init_model_state(self):
+        return self._model_state
+
+    def _ce(self, logits, batch):
         labels = batch["label"]
         ls = float(self.cfg.get("label_smoothing", 0.0))
         one_hot = optax.smooth_labels(
@@ -84,13 +115,32 @@ class ClassifyTrainer(BaseTrainer):
         )
         loss = optax.softmax_cross_entropy(logits, one_hot).mean()
         acc = (logits.argmax(-1) == labels).mean()
+        return loss, acc
+
+    def loss_fn(self, params, *args):
+        if self._model_state is not None:  # YOLO-cls (BatchNorm stats)
+            model_state, batch, rng = args
+            logits, mutated = self.model.apply(
+                {"params": params, **model_state}, batch["image"], train=True,
+                mutable=["batch_stats"],
+            )
+            loss, acc = self._ce(logits, batch)
+            return loss, ({"acc": acc}, dict(mutated))
+        batch, rng = args
+        logits = self.model.apply(
+            {"params": params}, batch["image"], train=True, rngs={"dropout": rng}
+        )
+        loss, acc = self._ce(logits, batch)
         return loss, {"acc": acc}
 
     def validate(self, state) -> dict[str, float]:
         params = state.ema_params if state.ema_params is not None else state.params
+        extra = state.model_state or {}
 
         def eval_fn(p, batch):
-            logits = self.model.apply({"params": p}, batch["image"], train=False)
+            logits = self.model.apply(
+                {"params": p, **extra}, batch["image"], train=False
+            )
             return {
                 "correct": (logits.argmax(-1) == batch["label"]).astype(jnp.float32),
                 "loss": optax.softmax_cross_entropy_with_integer_labels(
@@ -129,7 +179,10 @@ class ClassifyValidator:
         params = trainer.build_model()
         from kuzu.core.train import build_optimizer, init_state
 
-        state = init_state(params, build_optimizer(self.cfg), use_ema=True)
+        state = init_state(
+            params, build_optimizer(self.cfg), use_ema=True,
+            model_state=trainer._model_state,
+        )
         ckpt_dir = self.cfg.get("model")
         if ckpt_dir and Path(str(ckpt_dir)).exists():
             from kuzu.core.checkpoint import CheckpointManager
@@ -161,26 +214,50 @@ class ClassifyPredictor:
         class_map = json.loads((run_dir / "class_map.json").read_text())
         self.idx_to_name = {int(v): k for k, v in class_map.items()}
         self.imgsz = int(train_cfg.get("imgsz", 128))
-        self.channels = int(train_cfg.get("channels", 1))
-        self.model = SimpleViT(
-            num_classes=len(class_map),
-            image_size=(self.imgsz,) * 2,
-            patch_size=(int(train_cfg.get("patch", 16)),) * 2,
-            dim=int(train_cfg.get("dim", 256)),
-            depth=int(train_cfg.get("depth", 6)),
-            num_heads=int(train_cfg.get("heads", 8)),
+        arch = str(train_cfg.get("model") or "")
+        model_state = None
+        if ClassifyTrainer._is_yolo(arch):
+            from kuzu.models.yolo.graph import (
+                YoloGraph, parse_model_yaml, resolve_model_spec,
+            )
+
+            self.channels = 3
+            path_, scale = resolve_model_spec(arch)
+            spec = parse_model_yaml(path_, scale=scale, nc=len(class_map))
+            self.model = YoloGraph(spec)
+            sample = jnp.zeros((1, self.imgsz, self.imgsz, 3), jnp.float32)
+            variables = jax.jit(
+                lambda r: self.model.init(r, sample, train=False)
+            )(jax.random.key(0))
+            params = variables["params"]
+            model_state = {k: v for k, v in variables.items() if k != "params"}
+        else:
+            self.channels = int(train_cfg.get("channels", 1))
+            self.model = SimpleViT(
+                num_classes=len(class_map),
+                image_size=(self.imgsz,) * 2,
+                patch_size=(int(train_cfg.get("patch", 16)),) * 2,
+                dim=int(train_cfg.get("dim", 256)),
+                depth=int(train_cfg.get("depth", 6)),
+                num_heads=int(train_cfg.get("heads", 8)),
+            )
+            sample = jnp.zeros(
+                (1, self.imgsz, self.imgsz, self.channels), jnp.float32
+            )
+            params = self.model.init(jax.random.key(0), sample)["params"]
+        state = init_state(
+            params, build_optimizer(train_cfg), use_ema=True,
+            model_state=model_state,
         )
-        sample = jnp.zeros((1, self.imgsz, self.imgsz, self.channels), jnp.float32)
-        params = self.model.init(jax.random.key(0), sample)["params"]
-        state = init_state(params, build_optimizer(train_cfg), use_ema=True)
         mgr = CheckpointManager(run_dir / "weights")
         state = mgr.restore("best" if mgr.exists("best") else "last", like=state)
         self.params = (
             state.ema_params if state.ema_params is not None else state.params
         )
+        extra = state.model_state or {}
         self._fwd = jax.jit(
             lambda p, x: jax.nn.softmax(
-                self.model.apply({"params": p}, x, train=False), -1
+                self.model.apply({"params": p, **extra}, x, train=False), -1
             )
         )
         self.ready = True

@@ -153,3 +153,31 @@ def test_classify_predictor_roundtrip(glyph_dir, tmp_path):
     for r in out:
         assert r["name"].startswith("U+")
         assert 0.0 <= r["confidence"] <= 1.0
+
+
+def test_yolo_cls_trainer_end_to_end(glyph_dir, tmp_path):
+    """YOLO-backbone classifier (reference ClassificationModel +
+    Classify head, nn/modules/head.py:282): trains through the BatchNorm
+    model-state path and round-trips through the predictor."""
+    from kuzu.core.config import load_config
+    from kuzu.tasks.classify import ClassifyPredictor, ClassifyTrainer
+
+    cfg = load_config(
+        overrides=dict(
+            task="classify", model="yolov8n-cls", data=str(glyph_dir),
+            epochs=2, batch=8, imgsz=32, workers=0, dtype="float32",
+            optimizer="adamw", lr0=0.003, warmup_epochs=0.0,
+            project=str(tmp_path / "runs"), name="ycls", exist_ok=True,
+        )
+    )
+    trainer = ClassifyTrainer(cfg)
+    result = trainer.train()
+    assert np.isfinite(result["loss"]) and 0.0 <= result["acc"] <= 1.0
+    assert trainer._model_state is not None  # BatchNorm stats tracked
+
+    pred = ClassifyPredictor(
+        load_config(overrides=dict(task="classify", model=str(trainer.save_dir)))
+    )
+    imgs = sorted((glyph_dir / "train").rglob("*.png"))[:2]
+    out = pred([str(p) for p in imgs])
+    assert len(out) == 2 and all(0 <= o["confidence"] <= 1 for o in out)
