@@ -319,9 +319,9 @@ def production_pipeline(root: Path, decode: str = "greedy"):
 
     root = Path(root)
     return KuzushijiPipeline(
-        column_model=root / "runs" / "col" / "col",
-        char_model=root / "runs" / "char" / "char",
-        recognizer=root / "runs" / "rec" / "rec",
+        column_model=root / "runs" / "detect" / "col",
+        char_model=root / "runs" / "detect" / "char",
+        recognizer=root / "runs" / "recognize" / "rec",
         lm=root / "runs" / "lm" / "lm",
         tile_grid=2,
         conf=0.25,
