@@ -160,43 +160,56 @@ def synth_dense_pages(
             for ci, cx in enumerate(xs):
                 cw = int(rng.integers(15, 22))  # column width ~ char size
                 y = int(rng.integers(24, 70))
-                col_chars, col_boxes = [], []
-                while y < page - 40:
-                    ch = chars[int(rng.choice(len(chars), p=p))]
-                    w = cw + int(rng.integers(-3, 4))
-                    h = int(w * rng.uniform(0.9, 1.4))
-                    x = int(cx - w / 2 + rng.integers(-3, 4))
-                    x = max(0, min(page - w - 1, x))
-                    if y + h > page - 10:
-                        break
-                    draw_glyph(d, ch, x, y, w, h, rng)
-                    char_rows.append(
-                        f"0 {(x + w / 2) / page:.6f} {(y + h / 2) / page:.6f} "
-                        f"{w / page:.6f} {h / page:.6f}"
+                seg = 0
+                while y < page - 80:
+                    # columns run as 1-3 vertical SEGMENTS per x position
+                    # (paragraph breaks) — also keeps each column box within
+                    # the DFL head's representable extent (ltrb <= reg_max-1
+                    # grid units at stride 32: a full-page 1200 px column at
+                    # 640 train size exceeds it and cannot be regressed; the
+                    # reference Detect head has the same reg_max=16 ceiling)
+                    seg_end = min(
+                        y + int(rng.integers(280, 680)), page - 20
                     )
-                    col_chars.append(ch)
-                    col_boxes.append((x, y, x + w, y + h))
-                    y += h + int(rng.integers(1, 6))
-                glyphs += len(col_chars)
-                if not col_boxes:
-                    continue
-                bx = np.array(col_boxes)
-                x1, y1 = bx[:, 0].min() - 4, bx[:, 1].min() - 4
-                x2, y2 = bx[:, 2].max() + 4, bx[:, 3].max() + 4
-                col_rows.append(
-                    f"0 {(x1 + x2) / 2 / page:.6f} {(y1 + y2) / 2 / page:.6f} "
-                    f"{(x2 - x1) / page:.6f} {(y2 - y1) / page:.6f}"
-                )
-                # column crop for the recognizer (P19 output schema)
-                crop = img.crop((int(x1), int(y1), int(x2), int(y2)))
-                cpth = root / "columns" / split / f"p{i}c{ci}.png"
-                crop.save(cpth)
-                uni = " ".join(f"U+{ord(c):04X}" for c in col_chars)
-                csv_rows.append(
-                    f"{cpth.relative_to(root)},{split}/p{i}.jpg,"
-                    f"\"{int(x1)},{int(y1)},{int(x2)},{int(y2)}\",{uni}"
-                )
-                corpus[split].append("".join(col_chars))
+                    col_chars, col_boxes = [], []
+                    while y < seg_end:
+                        ch = chars[int(rng.choice(len(chars), p=p))]
+                        w = cw + int(rng.integers(-3, 4))
+                        h = int(w * rng.uniform(0.9, 1.4))
+                        x = int(cx - w / 2 + rng.integers(-3, 4))
+                        x = max(0, min(page - w - 1, x))
+                        if y + h > seg_end:
+                            break
+                        draw_glyph(d, ch, x, y, w, h, rng)
+                        char_rows.append(
+                            f"0 {(x + w / 2) / page:.6f} {(y + h / 2) / page:.6f} "
+                            f"{w / page:.6f} {h / page:.6f}"
+                        )
+                        col_chars.append(ch)
+                        col_boxes.append((x, y, x + w, y + h))
+                        y += h + int(rng.integers(1, 6))
+                    y += int(rng.integers(50, 110))  # inter-segment gap
+                    glyphs += len(col_chars)
+                    if len(col_chars) < 2:
+                        continue
+                    bx = np.array(col_boxes)
+                    x1, y1 = bx[:, 0].min() - 4, bx[:, 1].min() - 4
+                    x2, y2 = bx[:, 2].max() + 4, bx[:, 3].max() + 4
+                    col_rows.append(
+                        f"0 {(x1 + x2) / 2 / page:.6f} {(y1 + y2) / 2 / page:.6f} "
+                        f"{(x2 - x1) / page:.6f} {(y2 - y1) / page:.6f}"
+                    )
+                    # column crop for the recognizer (P19 output schema)
+                    crop = img.crop((int(x1), int(y1), int(x2), int(y2)))
+                    cpth = root / "columns" / split / f"p{i}c{ci}s{seg}.png"
+                    crop.save(cpth)
+                    uni = " ".join(f"U+{ord(c):04X}" for c in col_chars)
+                    csv_rows.append(
+                        f"{cpth.relative_to(root)},{split}/p{i}.jpg,"
+                        f"\"{int(x1)},{int(y1)},{int(x2)},{int(y2)}\",{uni}"
+                    )
+                    corpus[split].append("".join(col_chars))
+                    seg += 1
             img.save(root / "char/images" / split / f"p{i}.jpg", quality=92)
             (root / "char/labels" / split / f"p{i}.txt").write_text(
                 "\n".join(char_rows)
@@ -254,7 +267,7 @@ def train_stage(root: Path, stage: str, **overrides) -> dict:
             m.train(
                 data=str(root / "col" / "dataset.yaml"),
                 imgsz=640, epochs=int(overrides.get("col_epochs", 40)),
-                batch=8, dtype="bfloat16", max_boxes=24, max_det=32,
+                batch=8, dtype="bfloat16", max_boxes=64, max_det=96,
                 project=str(root / "runs"), name="col", exist_ok=True,
                 **({"workers": 2}),
             )
