@@ -263,11 +263,16 @@ def train_stage(root: Path, stage: str, **overrides) -> dict:
     results = {}
     if stage in ("col", "all"):
         m = Model("yolov12s", task="detect")
+        # columns train at the native 1280 page size: at 640 a ~16 px-wide
+        # column becomes 8 px — under-resolved for stride-8 anchors (one
+        # anchor column inside) and the detector plateaued at mAP50 0.69;
+        # 1280 keeps widths at 4 anchor columns and segment heights inside
+        # the DFL range (<=480 px per side at stride 32)
         results["col"] = dict(
             m.train(
                 data=str(root / "col" / "dataset.yaml"),
-                imgsz=640, epochs=int(overrides.get("col_epochs", 40)),
-                batch=8, dtype="bfloat16", max_boxes=64, max_det=96,
+                imgsz=1280, epochs=int(overrides.get("col_epochs", 40)),
+                batch=4, dtype="bfloat16", max_boxes=64, max_det=96,
                 project=str(root / "runs"), name="col", exist_ok=True,
                 **({"workers": 2}),
             )
