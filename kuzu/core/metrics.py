@@ -41,6 +41,7 @@ def match_predictions(
     gt_classes: np.ndarray,
     iou_thresholds: np.ndarray,
     use_scipy: bool = False,
+    iou: np.ndarray | None = None,
 ) -> np.ndarray:
     """IoU matching of score-sorted predictions to GT per threshold.
 
@@ -52,12 +53,18 @@ def match_predictions(
     mirroring the reference's optional branch
     (``yolov12/ultralytics/engine/validator.py:222-238`` — maximize total
     IoU over candidate pairs above the threshold).
+
+    ``iou`` replaces the axis-aligned box IoU with a precomputed
+    (n_gt, n_pred) similarity matrix — how the reference's OBB (probIoU,
+    ``models/yolo/obb/val.py``) and Pose (OKS, ``pose/val.py:193``)
+    validators reuse the same mAP machinery.
     """
     n_pred, n_thr = len(pred_boxes), len(iou_thresholds)
     correct = np.zeros((n_pred, n_thr), dtype=bool)
     if n_pred == 0 or len(gt_boxes) == 0:
         return correct
-    iou = box_iou_np(gt_boxes, pred_boxes)
+    if iou is None:
+        iou = box_iou_np(gt_boxes, pred_boxes)
     iou = iou * (gt_classes[:, None] == pred_classes[None, :])
     for t, thr in enumerate(iou_thresholds):
         cand = iou >= thr
@@ -173,8 +180,13 @@ class DetMetrics:
         gt_boxes: np.ndarray,
         gt_classes: np.ndarray,
         gt_valid: np.ndarray,
+        iou_matrix: np.ndarray | None = None,
     ) -> None:
-        """Add one image (padded arrays straight off the device)."""
+        """Add one image (padded arrays straight off the device).
+
+        ``iou_matrix``: optional precomputed (n_valid_gt, n_valid_pred)
+        similarity (probIoU for OBB, OKS for pose) replacing box IoU.
+        """
         pb = np.asarray(pred_boxes)[np.asarray(pred_valid, bool)]
         ps = np.asarray(pred_scores)[np.asarray(pred_valid, bool)]
         pc = np.asarray(pred_classes)[np.asarray(pred_valid, bool)]
@@ -182,7 +194,8 @@ class DetMetrics:
         gc = np.asarray(gt_classes)[np.asarray(gt_valid, bool)]
         self._tp.append(
             match_predictions(
-                pb, pc, gb, gc, self.iou_thresholds, use_scipy=self.use_scipy
+                pb, pc, gb, gc, self.iou_thresholds, use_scipy=self.use_scipy,
+                iou=iou_matrix,
             )
         )
         self._conf.append(ps)

@@ -254,6 +254,7 @@ class YoloDetectionDataset:
         seed: int = 0,
         rect: bool = False,
         stride: int = 32,
+        cache: bool = True,
     ):
         if isinstance(spec, (str, Path)):
             spec = load_dataset_yaml(spec)
@@ -304,6 +305,59 @@ class YoloDetectionDataset:
             self._rect_shapes = [
                 self._bucket_shape(p) for p in self.images
             ]
+        # label cache: one-time parse of every label txt, persisted next to
+        # the labels dir and invalidated by an mtime/size hash (reference
+        # ``data/dataset.py::cache_labels`` / ``get_labels``, labels.cache)
+        self._labels: list[np.ndarray] | None = (
+            self._load_label_cache() if cache else None
+        )
+
+    def _label_cache_file(self) -> Path:
+        # deterministic home: the first image's labels dir (images sorted)
+        return _label_path(self.images[0]).parent / "labels.cache.npz"
+
+    def _load_label_cache(self) -> list[np.ndarray] | None:
+        """All (N_i, 5) normalized label rows, via the on-disk cache when
+        its hash still matches the label files."""
+        import hashlib
+
+        paths = [_label_path(p) for p in self.images]
+        h = hashlib.sha1()
+        for p in paths:
+            st = p.stat() if p.exists() else None
+            h.update(
+                f"{p.name}:{st.st_mtime_ns if st else 0}:"
+                f"{st.st_size if st else -1};".encode()
+            )
+        key = h.hexdigest()
+        cache_file = self._label_cache_file()
+        try:
+            z = np.load(cache_file, allow_pickle=False)
+            if str(z["key"]) == key:
+                rows, counts = z["rows"], z["counts"]
+                off = np.concatenate([[0], np.cumsum(counts)])
+                return [
+                    rows[off[i]:off[i + 1]].astype(np.float32)
+                    for i in range(len(counts))
+                ]
+        except (OSError, KeyError, ValueError):
+            pass
+        labels = [read_yolo_labels(p) for p in paths]
+        try:
+            cache_file.parent.mkdir(parents=True, exist_ok=True)
+            np.savez(
+                cache_file,
+                key=key,
+                rows=(
+                    np.concatenate(labels)
+                    if labels
+                    else np.zeros((0, 5), np.float32)
+                ),
+                counts=np.asarray([len(l) for l in labels], np.int64),
+            )
+        except OSError:
+            pass  # read-only dataset dir: keep the in-memory cache only
+        return labels
 
     def _bucket_shape(self, path: Path) -> tuple[int, int]:
         """Target (h, w) for one image: long side = imgsz, short side
@@ -356,7 +410,11 @@ class YoloDetectionDataset:
         else:
             img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         h, w = img.shape[:2]
-        rows = read_yolo_labels(_label_path(path))
+        rows = (
+            self._labels[idx]
+            if self._labels is not None
+            else read_yolo_labels(_label_path(path))
+        )
         labels = rows[:, 0].astype(np.int32)
         cxcywh = rows[:, 1:5] * [w, h, w, h]
         boxes = np.concatenate(
@@ -510,6 +568,7 @@ class YoloSegmentDataset(YoloDetectionDataset):
     """
 
     def __init__(self, *args, mask_ratio: int = 4, **kwargs):
+        kwargs.setdefault("cache", False)  # polygon rows aren't (cls, xywh)
         super().__init__(*args, **kwargs)
         self.mask_ratio = mask_ratio
         self.hyp["mosaic"] = 0.0
@@ -590,6 +649,7 @@ class YoloPoseDataset(YoloDetectionDataset):
     the spec provides one (left/right keypoint swaps)."""
 
     def __init__(self, *args, kpt_shape: tuple[int, int] = (17, 3), **kwargs):
+        kwargs.setdefault("cache", False)  # kpt rows parse via _load_pose
         super().__init__(*args, **kwargs)
         self.kpt_shape = tuple(
             self.spec.get("kpt_shape", kpt_shape)
@@ -701,6 +761,7 @@ class YoloOBBDataset(YoloDetectionDataset):
     pixel targets. hsv-only augmentation (flips would need angle care)."""
 
     def __init__(self, *args, **kwargs):
+        kwargs.setdefault("cache", False)  # corner rows aren't (cls, xywh)
         super().__init__(*args, **kwargs)
         self.hyp["mosaic"] = 0.0
 

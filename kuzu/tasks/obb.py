@@ -67,9 +67,13 @@ class OBBTrainer(DetectTrainer):
         return total, (metrics, dict(mutated))
 
     def validate(self, state) -> dict[str, float]:
-        """Rotated validation: probIoU-matched precision/recall at 0.5
-        (the axis-aligned mAP machinery doesn't fit rboxes; the reference
-        uses OBBValidator with rotated IoU)."""
+        """Rotated validation: full mAP50/mAP50-95 with probIoU as the
+        matching similarity — the reference ``OBBValidator`` feeds
+        ``batch_probiou`` into the shared mAP machinery
+        (``models/yolo/obb/val.py:90-103``); here the probIoU matrix goes
+        through ``DetMetrics(iou_matrix=...)``. Legacy probIoU@0.5 P/R/F1
+        are kept alongside."""
+        from kuzu.core.metrics import DetMetrics
         from kuzu.ops.obb import probiou
 
         params = state.ema_params if state.ema_params is not None else state.params
@@ -90,6 +94,7 @@ class OBBTrainer(DetectTrainer):
 
         from kuzu.tasks.base import resolve_val_batches
 
+        dm = DetMetrics(use_scipy=bool(self.cfg.get("val_scipy", False)))
         tp = fp = n_gt = 0
         max_batches = resolve_val_batches(self.cfg, self.val_loader)
         for bi, batch in enumerate(self.val_loader):
@@ -104,25 +109,35 @@ class OBBTrainer(DetectTrainer):
                 pv = out["valid"][i]
                 pb = out["boxes"][i][pv]
                 pc = out["classes"][i][pv]
+                ps = out["scores"][i][pv]
                 gv = np.asarray(batch["mask_gt"][i], bool)
                 gb = np.asarray(batch["gt_rboxes"][i])[gv]
                 gc = np.asarray(batch["gt_labels"][i])[gv]
                 n_gt += len(gb)
+                if len(pb) and len(gb):
+                    iou = np.asarray(
+                        probiou(
+                            jnp.asarray(gb)[:, None, :],
+                            jnp.asarray(pb)[None, :, :],
+                        )
+                    )
+                else:
+                    iou = np.zeros((len(gb), len(pb)), np.float32)
+                dm.update(
+                    pb, ps, pc, np.ones(len(pb), bool),
+                    gb, gc, np.ones(len(gb), bool),
+                    iou_matrix=iou,
+                )
                 if not len(pb):
                     continue
                 if not len(gb):
                     fp += len(pb)
                     continue
-                iou = np.asarray(
-                    probiou(
-                        jnp.asarray(gb)[:, None, :], jnp.asarray(pb)[None, :, :]
-                    )
-                )
-                iou = iou * (gc[:, None] == pc[None, :])
+                cio = iou * (gc[:, None] == pc[None, :])
                 used = np.zeros(len(gb), bool)
-                for j in np.argsort(-out["scores"][i][pv]):
-                    g = int(np.argmax(iou[:, j]))
-                    if iou[g, j] >= 0.5 and not used[g]:
+                for j in np.argsort(-ps):
+                    g = int(np.argmax(cio[:, j]))
+                    if cio[g, j] >= 0.5 and not used[g]:
                         used[g] = True
                         tp += 1
                     else:
@@ -130,9 +145,11 @@ class OBBTrainer(DetectTrainer):
         precision = tp / max(tp + fp, 1)
         recall = tp / max(n_gt, 1)
         f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+        res = dm.compute()
         return {
+            "map50": res["map50"], "map": res["map"],
             "precision": precision, "recall": recall, "f1": f1,
-            "fitness": f1,
+            "fitness": res["fitness"],
         }
 
 

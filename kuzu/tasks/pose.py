@@ -60,6 +60,93 @@ class PoseTrainer(DetectTrainer):
             spec.kpt_shape = tuple(ks)
         return spec
 
+    def validate(self, state) -> dict[str, float]:
+        """Pose validation: box mAP plus OKS-matched pose mAP through the
+        shared AP machinery — the reference ``PoseValidator`` feeds
+        ``kpt_iou`` (OKS, cocoeval form with the 0.53 area factor) into
+        ``match_predictions`` (``models/yolo/pose/val.py:185-197``);
+        fitness sums pose and box fitness (``utils/metrics.py:1146``)."""
+        from kuzu.core.metrics import DetMetrics
+        from kuzu.ops.pose_loss import OKS_SIGMA_17
+
+        params = state.ema_params if state.ema_params is not None else state.params
+        variables = {"params": params, **(state.model_state or {})}
+        fwd = getattr(self, "_val_fwd", None)
+        if fwd is None:
+            conf = float(self.cfg.get("conf") or 0.001)
+            iou_t = float(self.cfg.get("iou", 0.7))
+            max_det = int(self.cfg.get("max_det", 300))
+            imgsz = self.imgsz
+
+            def _fwd(variables, images):
+                outputs = self.detector.infer(variables, images)
+                pred = self.detector.decode(outputs, imgsz=imgsz)
+                # single-label NMS keeps indices in anchor space for the
+                # keypoint gather (pose nc is 1 in practice)
+                out = non_max_suppression(
+                    pred, conf_thres=conf, iou_thres=iou_t, max_det=max_det,
+                    return_indices=True,
+                )
+                feats = outputs["det"]
+                shapes = [(f.shape[1], f.shape[2]) for f in feats]
+                anchor_points, stride_t = make_anchors(
+                    shapes, list(self.detector.strides)
+                )
+                kp = kpts_decode(anchor_points, outputs["kpts_raw"])
+                kp_px = jnp.concatenate(
+                    [kp[..., :2] * stride_t[None, :, None, :],
+                     jax.nn.sigmoid(kp[..., 2:])],
+                    axis=-1,
+                )
+                out["kpts"] = jnp.take_along_axis(
+                    kp_px, out["indices"][..., None, None], axis=1
+                )
+                return out
+
+            fwd = self._val_fwd = jax.jit(_fwd)
+
+        from kuzu.tasks.base import resolve_val_batches
+
+        use_scipy = bool(self.cfg.get("val_scipy", False))
+        dm_box = DetMetrics(use_scipy=use_scipy)
+        dm_pose = DetMetrics(use_scipy=use_scipy)
+        max_batches = resolve_val_batches(self.cfg, self.val_loader)
+        for bi, batch in enumerate(self.val_loader):
+            if bi >= max_batches:
+                break
+            mask = batch.pop("sample_mask", np.ones(len(batch["image"]), np.float32))
+            out = fwd(variables, jnp.asarray(batch["image"]))
+            out = {k: np.asarray(v) for k, v in out.items()}
+            for i in range(len(batch["image"])):
+                if mask[i] == 0:
+                    continue
+                pv = np.asarray(out["valid"][i], bool)
+                pb = out["boxes"][i][pv]
+                ps = out["scores"][i][pv]
+                pc = out["classes"][i][pv]
+                pk = out["kpts"][i][pv]  # (n, K, 2/3) letterboxed px
+                gv = np.asarray(batch["mask_gt"][i], bool)
+                gb = np.asarray(batch["gt_boxes"][i])[gv]
+                gc = np.asarray(batch["gt_labels"][i])[gv]
+                gk = np.asarray(batch["gt_kpts"][i])[gv]
+                dm_box.update(
+                    pb, ps, pc, np.ones(len(pb), bool),
+                    gb, gc, np.ones(len(gb), bool),
+                )
+                dm_pose.update(
+                    pb, ps, pc, np.ones(len(pb), bool),
+                    gb, gc, np.ones(len(gb), bool),
+                    iou_matrix=oks_matrix(gk, pk, gb, OKS_SIGMA_17),
+                )
+        box = dm_box.compute()
+        pose = dm_pose.compute()
+        return {
+            "map50": box["map50"], "map": box["map"],
+            "precision": box["precision"], "recall": box["recall"],
+            "pose_map50": pose["map50"], "pose_map": pose["map"],
+            "fitness": box["fitness"] + pose["fitness"],
+        }
+
     def loss_fn(self, params, model_state, batch, rng):
         variables = {"params": params, **model_state}
         outputs, mutated = self.detector.apply(
@@ -81,6 +168,38 @@ class PoseTrainer(DetectTrainer):
             kobj_w=float(self.cfg.get("kobj", 1.0)),
         )
         return total, (metrics, dict(mutated))
+
+
+def oks_matrix(
+    gt_kpts: np.ndarray,
+    pred_kpts: np.ndarray,
+    gt_boxes: np.ndarray,
+    sigma17: np.ndarray,
+) -> np.ndarray:
+    """(n_gt, n_pred) Object Keypoint Similarity — the reference ``kpt_iou``
+    (``utils/metrics.py:156-175``, cocoeval Gaussian) with box area × 0.53
+    (``pose/val.py:191``). GT keypoints with zero coords count as
+    invisible."""
+    n_gt, n_pred = len(gt_kpts), len(pred_kpts)
+    if n_gt == 0 or n_pred == 0:
+        return np.zeros((n_gt, n_pred), np.float32)
+    K = gt_kpts.shape[1]
+    sigma = (
+        np.asarray(sigma17, np.float32)
+        if K == 17
+        else np.full((K,), 1.0 / K, np.float32)
+    )
+    d2 = ((gt_kpts[:, None, :, :2] - pred_kpts[None, :, :, :2]) ** 2).sum(-1)
+    if gt_kpts.shape[-1] == 3:
+        vis = gt_kpts[..., 2] != 0  # (n_gt, K)
+    else:
+        vis = np.abs(gt_kpts[..., :2]).sum(-1) > 0
+    wh = gt_boxes[:, 2:4] - gt_boxes[:, :2]
+    area = wh[:, 0] * wh[:, 1] * 0.53
+    e = d2 / ((2 * sigma[None, None]) ** 2 * (area[:, None, None] + 1e-7) * 2)
+    return (np.exp(-e) * vis[:, None]).sum(-1) / (
+        vis.sum(-1)[:, None] + 1e-7
+    )
 
 
 class Keypoints:

@@ -58,14 +58,14 @@ def load_vocab(csv_path: Path = VOCAB_CSV) -> list[str]:
 
 
 def production_tokenizer():
-    from kuzu.data.tokenizer import CharTokenizer
+    from kuzu.data.tokenizer import SPECIALS, CharTokenizer
 
     vocab = load_vocab()
     # NFKC-off: the historical vocab distinguishes variants NFKC would fold
     return CharTokenizer(
         vocab={
-            **{t: i for i, t in enumerate(["<pad>", "<unk>", "<bos>", "<eos>", "<mask>"])},
-            **{c: i + 5 for i, c in enumerate(dict.fromkeys(vocab))},
+            **{t: i for i, t in enumerate(SPECIALS)},
+            **{c: i + len(SPECIALS) for i, c in enumerate(dict.fromkeys(vocab))},
         },
         nfkc=False,
     )

@@ -110,3 +110,57 @@ def test_rect_dataset_buckets(tmp_path):
     assert s["image"].shape == (128, 64, 3)
     b = s["gt_boxes"][s["mask_gt"]]
     assert (b >= 0).all() and (b[:, [0, 2]] <= 64).all()
+
+
+def test_label_cache_roundtrip_and_invalidation(tmp_path):
+    """Reference get_labels/cache_labels semantics (data/dataset.py):
+    first scan persists labels.cache, matching hash reuses it, touching a
+    label file invalidates it."""
+    import yaml
+
+    from kuzu.data.yolo_dataset import YoloDetectionDataset
+
+    for split in ("train",):
+        (tmp_path / "images" / split).mkdir(parents=True)
+        (tmp_path / "labels" / split).mkdir(parents=True)
+    import numpy as np
+    from PIL import Image
+
+    for i in range(3):
+        Image.new("RGB", (32, 32), (200, 200, 200)).save(
+            tmp_path / "images/train" / f"{i}.jpg"
+        )
+        (tmp_path / "labels/train" / f"{i}.txt").write_text(
+            f"0 0.5 0.5 0.{2 + i} 0.3\n"
+        )
+    yml = tmp_path / "dataset.yaml"
+    yml.write_text(yaml.safe_dump({
+        "path": ".", "train": "images/train", "val": "images/train",
+        "names": {0: "x"}, "nc": 1,
+    }))
+
+    ds = YoloDetectionDataset(yml, split="train", imgsz=32, max_boxes=4,
+                              augment=False)
+    cache_file = tmp_path / "labels/train/labels.cache.npz"
+    assert cache_file.exists()
+    assert len(ds._labels) == 3 and ds._labels[1][0, 3] == np.float32(0.3)
+
+    # warm reload hits the cache (delete a label txt but keep mtimes -> the
+    # hash changes, proving the hash actually covers the files)
+    ds2 = YoloDetectionDataset(yml, split="train", imgsz=32, max_boxes=4,
+                               augment=False)
+    assert [len(a) for a in ds2._labels] == [1, 1, 1]
+
+    (tmp_path / "labels/train" / "1.txt").write_text(
+        "0 0.5 0.5 0.9 0.9\n0 0.2 0.2 0.1 0.1\n"
+    )
+    ds3 = YoloDetectionDataset(yml, split="train", imgsz=32, max_boxes=4,
+                               augment=False)
+    assert len(ds3._labels[1]) == 2  # invalidated + re-scanned
+
+    # cache=False keeps the old per-item path
+    ds4 = YoloDetectionDataset(yml, split="train", imgsz=32, max_boxes=4,
+                               augment=False, cache=False)
+    assert ds4._labels is None
+    _, boxes, _ = ds4._load_raw(1)
+    assert len(boxes) == 2

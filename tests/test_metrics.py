@@ -99,3 +99,32 @@ def test_match_predictions_hungarian_beats_greedy():
     hung = match_predictions(preds, classes, gt, classes, thr, use_scipy=True)
     assert greedy[:, 0].sum() == 1  # pred1 stranded
     assert hung[:, 0].sum() == 2    # optimal: both matched
+
+
+def test_det_metrics_custom_iou_matrix_overrides_box_iou():
+    """iou_matrix replaces axis-aligned IoU (the OBB probIoU / pose OKS
+    hook): disjoint boxes + identity similarity still yields perfect mAP."""
+    m = DetMetrics()
+    gt = np.array([[0.0, 0, 10, 10], [20, 20, 40, 40]], dtype=np.float32)
+    preds = np.array([[100.0, 100, 110, 110], [200, 200, 220, 220]],
+                     dtype=np.float32)  # zero box IoU with gt
+    m.update(
+        preds,
+        np.array([0.9, 0.8]),
+        np.zeros(2),
+        np.array([True, True]),
+        gt,
+        np.zeros(2),
+        np.array([True, True]),
+        iou_matrix=np.eye(2, dtype=np.float32),
+    )
+    res = m.compute()
+    assert res["map50"] > 0.99 and res["map"] > 0.99
+
+    # and without the matrix the same inputs score zero
+    m2 = DetMetrics()
+    m2.update(
+        preds, np.array([0.9, 0.8]), np.zeros(2), np.array([True, True]),
+        gt, np.zeros(2), np.array([True, True]),
+    )
+    assert m2.compute()["map50"] == 0.0

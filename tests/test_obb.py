@@ -124,6 +124,7 @@ def test_obb_trainer_end_to_end(obb_dataset, tmp_path):
     result = trainer.train()
     assert np.isfinite(result["loss"])
     assert "f1" in result
+    assert "map50" in result and "map" in result  # probIoU-matched mAP
 
     pred_cfg = load_config(
         overrides=dict(task="obb", model=str(trainer.save_dir), conf=0.0001)

@@ -126,6 +126,7 @@ def test_pose_trainer_end_to_end(pose_dataset, tmp_path):
     trainer = PoseTrainer(cfg)
     result = trainer.train()
     assert np.isfinite(result["loss"]) and result["kpt_loss"] > 0
+    assert "pose_map50" in result and "map50" in result  # OKS + box mAP
 
     pred_cfg = load_config(
         overrides=dict(task="pose", model=str(trainer.save_dir), conf=0.0001)
@@ -137,3 +138,24 @@ def test_pose_trainer_end_to_end(pose_dataset, tmp_path):
     if len(r.keypoints):
         assert r.keypoints.xy.shape[1:] == (K, 2)
         assert r.keypoints.conf is not None
+
+
+def test_oks_matrix_perfect_and_distant():
+    from kuzu.ops.pose_loss import OKS_SIGMA_17
+    from kuzu.tasks.pose import oks_matrix
+
+    gt_k = np.array([[[10.0, 10, 2], [20, 30, 2], [30, 10, 2]]], np.float32)
+    gt_b = np.array([[5.0, 5, 35, 35]], np.float32)
+    perfect = oks_matrix(gt_k, gt_k, gt_b, OKS_SIGMA_17)
+    assert perfect.shape == (1, 1) and perfect[0, 0] > 0.99
+
+    far = gt_k.copy()
+    far[..., :2] += 500
+    assert oks_matrix(gt_k, far, gt_b, OKS_SIGMA_17)[0, 0] < 1e-3
+
+    # invisible keypoints (v=0) are excluded from the average
+    gt_part = gt_k.copy()
+    gt_part[0, 2, 2] = 0
+    pred_off = gt_k.copy()
+    pred_off[0, 2, :2] += 500  # wrong only where invisible
+    assert oks_matrix(gt_part, pred_off, gt_b, OKS_SIGMA_17)[0, 0] > 0.99
