@@ -28,7 +28,27 @@ from kuzu.ops.nms import nms_free_select, non_max_suppression
 from kuzu.tasks.base import BaseTrainer
 
 
+def spec_head_kind(spec) -> str:
+    """Head family of a parsed graph spec — the reference infers this from
+    the model yaml to route tasks (``yolov12/ultralytics/nn/tasks.py``
+    ``guess_model_task``)."""
+    if spec.classify:
+        return "classify"
+    if spec.obb:
+        return "obb"
+    if spec.kpt_shape:
+        return "pose"
+    if spec.seg_nm:
+        return "segment"
+    return "detect"
+
+
 class DetectTrainer(BaseTrainer):
+    # head family the task's loss/validator expects; checked against the
+    # parsed model spec so `train pose model=yolov8n` fails with a clear
+    # message instead of a shape error deep inside the loss
+    head_kind = "detect"
+
     def build_datasets(self):
         cfg = self.cfg
         imgsz = int(cfg.get("imgsz", 640))
@@ -86,6 +106,15 @@ class DetectTrainer(BaseTrainer):
             self._resolve_model(name), nc=self.data_spec["nc"], dtype=dtype,
             imgsz=self.imgsz, remat=bool(cfg.get("remat", False)),
         )
+        kind = spec_head_kind(self.detector.spec)
+        if kind != self.head_kind:
+            base = name.split("-")[0]
+            hint = base if self.head_kind == "detect" else f"{base}-{self.head_kind}"
+            raise ValueError(
+                f"model '{name}' has a {kind} head but task "
+                f"'{cfg.get('task', self.head_kind)}' needs a {self.head_kind} "
+                f"head (e.g. model={hint})"
+            )
         variables = self.detector.init(
             jax.random.key(int(cfg.get("seed", 0))), imgsz=self.imgsz
         )

@@ -20,6 +20,8 @@ REG_MAX = 16
 
 
 class OBBTrainer(DetectTrainer):
+    head_kind = "obb"
+
     def build_datasets(self):
         cfg = self.cfg
         imgsz = int(cfg.get("imgsz", 640))

@@ -20,6 +20,8 @@ from kuzu.tasks.detect import DetectPredictor, DetectTrainer, DetectValidator
 
 
 class PoseTrainer(DetectTrainer):
+    head_kind = "pose"
+
     def build_datasets(self):
         cfg = self.cfg
         imgsz = int(cfg.get("imgsz", 640))
@@ -53,10 +55,14 @@ class PoseTrainer(DetectTrainer):
         path, scale = resolve_model_spec(name)
         spec = parse_model_yaml(path, scale=scale, nc=self.data_spec["nc"])
         ks = self.data_spec.get("kpt_shape")
-        if ks:  # dataset yaml overrides the model head (reference PoseModel)
-            for node in spec.nodes:
-                if node.module == "Pose":
-                    node.args[1] = list(ks)
+        pose_nodes = [n for n in spec.nodes if n.module == "Pose"]
+        if ks and pose_nodes:
+            # dataset yaml overrides the model head (reference PoseModel);
+            # only when the model actually HAS a Pose node — otherwise the
+            # spec would falsely claim a pose head and defeat the
+            # head/task guard in DetectTrainer.build_model
+            for node in pose_nodes:
+                node.args[1] = list(ks)
             spec.kpt_shape = tuple(ks)
         return spec
 

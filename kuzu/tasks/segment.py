@@ -26,6 +26,8 @@ from kuzu.tasks.detect import DetectPredictor, DetectTrainer, DetectValidator
 
 
 class SegmentTrainer(DetectTrainer):
+    head_kind = "segment"
+
     def build_datasets(self):
         cfg = self.cfg
         imgsz = int(cfg.get("imgsz", 640))

@@ -159,3 +159,21 @@ def test_oks_matrix_perfect_and_distant():
     pred_off = gt_k.copy()
     pred_off[0, 2, :2] += 500  # wrong only where invisible
     assert oks_matrix(gt_part, pred_off, gt_b, OKS_SIGMA_17)[0, 0] > 0.99
+
+
+def test_head_task_mismatch_raises(pose_dataset, tmp_path):
+    """A detect-head model under the pose task fails fast with a clear
+    error naming the fix, not a shape error deep in the loss (reference
+    routes by yaml head via ``nn/tasks.py`` guess_model_task)."""
+    from kuzu.core.config import load_config
+    from kuzu.tasks.pose import PoseTrainer
+
+    cfg = load_config(
+        overrides=dict(
+            task="pose", model="yolov8n", data=str(pose_dataset),
+            epochs=1, batch=2, imgsz=64, max_boxes=4, workers=0,
+            project=str(tmp_path / "runs"), name="mismatch", exist_ok=True,
+        )
+    )
+    with pytest.raises(ValueError, match="detect head.*pose.*yolov8n-pose"):
+        PoseTrainer(cfg).train()
