@@ -39,12 +39,15 @@ class YoloDetector:
         imgsz: int = 640,
         remat: bool = False,
         attn_impl: str = "auto",
+        reg_max: int | None = None,
     ):
         if isinstance(model, GraphSpec):
             self.spec = model
         else:
             path, scale = resolve_model_spec(str(model))
             self.spec = parse_model_yaml(path, scale=scale, nc=nc)
+        if reg_max is not None:  # trainer-cfg override of the DFL range
+            self.spec.reg_max = int(reg_max)
         if attn_impl == "auto":
             # fused Pallas area attention on TPU in BOTH directions
             # ('flash_train': kernel forward + VMEM flash backward — 195 vs
@@ -114,7 +117,8 @@ class YoloDetector:
             b, h, w, c = f.shape
             flat.append(f.reshape(b, h * w, c))
         cat = jnp.concatenate(flat, axis=1)
-        return cat[..., : 4 * REG_MAX], cat[..., 4 * REG_MAX :]
+        rm = self.spec.reg_max
+        return cat[..., : 4 * rm], cat[..., 4 * rm :]
 
     def decode(
         self, feats, imgsz: int | None = None
@@ -132,7 +136,7 @@ class YoloDetector:
         box_dist, cls = self.flatten_feats(feats)
         shapes = [(f.shape[1], f.shape[2]) for f in feats]
         anchor_points, stride_t = make_anchors(shapes, self.strides)
-        dist = dfl_expectation(box_dist, REG_MAX)  # (B, A, 4)
+        dist = dfl_expectation(box_dist, self.spec.reg_max)  # (B, A, 4)
         boxes = dist2bbox(dist, anchor_points[None], xywh=True) * stride_t[None]
         pred = jnp.concatenate(
             [boxes, jax.nn.sigmoid(cls.astype(jnp.float32))], axis=-1

@@ -55,6 +55,12 @@ class GraphSpec:
     kpt_shape: tuple[int, int] | None = None  # Pose head (K, D)
     obb: bool = False  # OBB head (rotated boxes)
     classify: bool = False  # Classify head (plain logits)
+    # DFL bins per side. Max representable box extent is reg_max*stride px
+    # per side from the anchor; the reference hardcodes 16
+    # (``nn/modules/head.py`` Detect.reg_max), which truncates objects
+    # taller than 2*16*stride px (e.g. book columns). Overridable via the
+    # model yaml key ``reg_max`` or the trainer cfg.
+    reg_max: int = 16
 
 
 def parse_model_yaml(
@@ -217,6 +223,7 @@ def parse_model_yaml(
         kpt_shape=tuple(pose.args[1]) if pose else None,
         obb=any(n.module == "OBB" for n in nodes),
         classify=any(n.module == "Classify" for n in nodes),
+        reg_max=int(d.get("reg_max", 16)),
     )
 
 
@@ -339,6 +346,7 @@ class YoloGraph(nn.Module):
                 result = M.Detect(
                     nc=self.spec.nc,
                     ch=tuple(self.spec.detect_ch),
+                    reg_max=self.spec.reg_max,
                     legacy=self.spec.legacy_head,
                     dtype=self.dtype,
                     name=name,
@@ -348,6 +356,7 @@ class YoloGraph(nn.Module):
                 result = M.V10Detect(
                     nc=self.spec.nc,
                     ch=tuple(self.spec.detect_ch),
+                    reg_max=self.spec.reg_max,
                     dtype=self.dtype,
                     name=name,
                 )(ins, train=train)
@@ -361,6 +370,7 @@ class YoloGraph(nn.Module):
                 result = M.OBB(
                     nc=self.spec.nc,
                     ch=tuple(self.spec.detect_ch),
+                    reg_max=self.spec.reg_max,
                     ne=a[1],
                     legacy=self.spec.legacy_head,
                     dtype=self.dtype,
@@ -371,6 +381,7 @@ class YoloGraph(nn.Module):
                 result = M.Pose(
                     nc=self.spec.nc,
                     ch=tuple(self.spec.detect_ch),
+                    reg_max=self.spec.reg_max,
                     kpt_shape=tuple(a[1]),
                     legacy=self.spec.legacy_head,
                     dtype=self.dtype,
@@ -381,6 +392,7 @@ class YoloGraph(nn.Module):
                 result = M.Segment(
                     nc=self.spec.nc,
                     ch=tuple(self.spec.detect_ch),
+                    reg_max=self.spec.reg_max,
                     nm=a[1],
                     npr=a[2],
                     legacy=self.spec.legacy_head,

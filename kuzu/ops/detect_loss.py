@@ -27,6 +27,7 @@ REG_MAX = 16
 def _dfl_loss(
     pred_dist: jnp.ndarray,  # (N, 4, reg_max) logits
     target: jnp.ndarray,  # (N, 4) continuous distances in [0, reg_max-1)
+    reg_max: int = REG_MAX,
 ) -> jnp.ndarray:
     """Distribution focal loss: CE against the two integer bins around the
     target, linearly weighted (reference ``DFLoss.__call__``)."""
@@ -34,8 +35,8 @@ def _dfl_loss(
     tr = tl + 1
     wl = tr.astype(target.dtype) - target
     wr = 1.0 - wl
-    tl = jnp.clip(tl, 0, REG_MAX - 1)
-    tr = jnp.clip(tr, 0, REG_MAX - 1)
+    tl = jnp.clip(tl, 0, reg_max - 1)
+    tr = jnp.clip(tr, 0, reg_max - 1)
     ce_l = optax.softmax_cross_entropy_with_integer_labels(pred_dist, tl)
     ce_r = optax.softmax_cross_entropy_with_integer_labels(pred_dist, tr)
     return (ce_l * wl + ce_r * wr).mean(-1)  # (N,)
@@ -43,7 +44,7 @@ def _dfl_loss(
 
 @partial(
     jax.jit,
-    static_argnames=("nc", "imgsz", "strides", "topk", "return_assign"),
+    static_argnames=("nc", "imgsz", "strides", "topk", "return_assign", "reg_max"),
 )
 def detection_loss(
     feats: Sequence[jnp.ndarray],  # per-level raw maps (B, H, W, 4*reg_max+nc)
@@ -58,12 +59,13 @@ def detection_loss(
     dfl_w: float = 1.5,
     topk: int = 10,
     return_assign: bool = False,
+    reg_max: int = REG_MAX,
 ):
     B = feats[0].shape[0]
     flat = [f.reshape(B, -1, f.shape[-1]) for f in feats]
     cat = jnp.concatenate(flat, axis=1).astype(jnp.float32)  # (B, A, no)
-    pred_dist = cat[..., : 4 * REG_MAX]
-    pred_logits = cat[..., 4 * REG_MAX :]
+    pred_dist = cat[..., : 4 * reg_max]
+    pred_logits = cat[..., 4 * reg_max :]
 
     # anchor grids derive from the ACTUAL feature-map shapes, so non-square
     # (rect-batched) inputs work unchanged; imgsz is kept for API compat
@@ -71,7 +73,7 @@ def detection_loss(
     anchor_points, stride_t = make_anchors(feat_shapes, list(strides))  # grid units
 
     # decode predicted boxes in grid units, then pixels for the assigner
-    dist = dfl_expectation(pred_dist, REG_MAX)
+    dist = dfl_expectation(pred_dist, reg_max)
     pred_bboxes = dist2bbox(dist, anchor_points[None], xywh=False)  # grid units
     pred_bboxes_px = pred_bboxes * stride_t[None]
     anc_px = anchor_points * stride_t
@@ -105,11 +107,12 @@ def detection_loss(
     box_loss = ((1.0 - iou) * weight).sum() / score_sum
 
     target_dist = bbox2dist(
-        target_bboxes_px / stride_t[None], anchor_points[None], REG_MAX
+        target_bboxes_px / stride_t[None], anchor_points[None], reg_max
     )  # (B, A, 4) grid units
     dfl = _dfl_loss(
-        pred_dist.reshape(-1, 4, REG_MAX),
+        pred_dist.reshape(-1, 4, reg_max),
         target_dist.reshape(-1, 4),
+        reg_max=reg_max,
     ).reshape(B, -1)
     dfl_loss = (dfl * weight).sum() / score_sum
 
@@ -138,6 +141,7 @@ def e2e_detection_loss(
     box_w: float = 7.5,
     cls_w: float = 0.5,
     dfl_w: float = 1.5,
+    reg_max: int = REG_MAX,
 ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
     """v10 dual-head loss (reference ``E2EDetectLoss``, ``utils/loss.py``):
     one2many branch with TAL top-10 + one2one branch with top-1, summed.
@@ -146,12 +150,12 @@ def e2e_detection_loss(
     t_m, m_m = detection_loss(
         feats["one2many"], gt_labels, gt_bboxes, mask_gt,
         nc=nc, imgsz=imgsz, strides=strides,
-        box_w=box_w, cls_w=cls_w, dfl_w=dfl_w, topk=10,
+        box_w=box_w, cls_w=cls_w, dfl_w=dfl_w, topk=10, reg_max=reg_max,
     )
     t_o, m_o = detection_loss(
         feats["one2one"], gt_labels, gt_bboxes, mask_gt,
         nc=nc, imgsz=imgsz, strides=strides,
-        box_w=box_w, cls_w=cls_w, dfl_w=dfl_w, topk=1,
+        box_w=box_w, cls_w=cls_w, dfl_w=dfl_w, topk=1, reg_max=reg_max,
     )
     metrics = {k: m_m[k] + m_o[k] for k in m_m}
     return t_m + t_o, metrics

@@ -174,6 +174,7 @@ def obb_loss(
     cls_w: float = 0.5,
     dfl_w: float = 1.5,
     topk: int = 10,
+    reg_max: int = REG_MAX,
 ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
     """v8OBBLoss: BCE cls over rotated TAL assignment + probIoU box loss +
     DFL on the unrotated ltrb distances (reference ``utils/loss.py:612``)."""
@@ -184,13 +185,13 @@ def obb_loss(
     B = feats[0].shape[0]
     flat = [f.reshape(B, -1, f.shape[-1]) for f in feats]
     cat = jnp.concatenate(flat, axis=1).astype(jnp.float32)
-    pred_dist = cat[..., : 4 * REG_MAX]
-    pred_logits = cat[..., 4 * REG_MAX :]
+    pred_dist = cat[..., : 4 * reg_max]
+    pred_logits = cat[..., 4 * reg_max :]
 
     shapes = [(f.shape[1], f.shape[2]) for f in feats]
     anchor_points, stride_t = make_anchors(shapes, list(strides))
 
-    dist = dfl_expectation(pred_dist, REG_MAX)
+    dist = dfl_expectation(pred_dist, reg_max)
     pred_rboxes = jnp.concatenate(
         [dist2rbox(dist, angle, anchor_points[None]), angle], -1
     )  # (B, A, 5) grid units
@@ -231,9 +232,10 @@ def obb_loss(
     # DFL on the unrotated xywh -> ltrb distances (reference RotatedBboxLoss)
     cx, cy, w, h = (tgt_grid[..., i] for i in range(4))
     xyxy = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
-    target_dist = bbox2dist(xyxy, anchor_points[None], REG_MAX)
+    target_dist = bbox2dist(xyxy, anchor_points[None], reg_max)
     dfl = _dfl_loss(
-        pred_dist.reshape(-1, 4, REG_MAX), target_dist.reshape(-1, 4)
+        pred_dist.reshape(-1, 4, reg_max), target_dist.reshape(-1, 4),
+        reg_max=reg_max,
     ).reshape(B, -1)
     dfl_loss = (dfl * weight).sum() / score_sum
 

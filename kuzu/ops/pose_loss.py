@@ -47,6 +47,7 @@ def pose_loss(
     dfl_w: float = 1.5,
     pose_w: float = 12.0,
     kobj_w: float = 1.0,
+    reg_max: int = 16,
 ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
     feats = outputs["det"]
     raw = outputs["kpts_raw"].astype(jnp.float32)  # (B, A, K, D)
@@ -55,6 +56,7 @@ def pose_loss(
     det_total, metrics, assign = detection_loss(
         feats, gt_labels, gt_bboxes, mask_gt, nc=nc, imgsz=imgsz,
         strides=tuple(strides), box_w=box_w, cls_w=cls_w, dfl_w=dfl_w,
+        reg_max=reg_max,
         return_assign=True,
     )
     fg = assign["fg_mask"].astype(jnp.float32)  # (B, A)

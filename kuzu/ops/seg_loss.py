@@ -61,6 +61,7 @@ def segmentation_loss(
     cls_w: float = 0.5,
     dfl_w: float = 1.5,
     max_fg: int = 128,
+    reg_max: int = 16,
 ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
     feats = outputs["det"]
     coeffs = outputs["coeffs"].astype(jnp.float32)
@@ -71,6 +72,7 @@ def segmentation_loss(
     det_total, metrics, assign = detection_loss(
         feats, gt_labels, gt_bboxes, mask_gt, nc=nc, imgsz=imgsz,
         strides=tuple(strides), box_w=box_w, cls_w=cls_w, dfl_w=dfl_w,
+        reg_max=reg_max,
         return_assign=True,
     )
     fg = assign["fg_mask"].astype(jnp.float32)  # (B, A)

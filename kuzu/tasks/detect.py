@@ -105,6 +105,9 @@ class DetectTrainer(BaseTrainer):
         self.detector = YoloDetector(
             self._resolve_model(name), nc=self.data_spec["nc"], dtype=dtype,
             imgsz=self.imgsz, remat=bool(cfg.get("remat", False)),
+            reg_max=(
+                int(cfg.get("reg_max")) if cfg.get("reg_max") else None
+            ),
         )
         kind = spec_head_kind(self.detector.spec)
         if kind != self.head_kind:
@@ -161,6 +164,7 @@ class DetectTrainer(BaseTrainer):
             box_w=float(self.cfg.get("box", 7.5)),
             cls_w=float(self.cfg.get("cls", 0.5)),
             dfl_w=float(self.cfg.get("dfl", 1.5)),
+            reg_max=self.detector.spec.reg_max,
         )
         return total, (metrics, dict(mutated))
 
@@ -314,6 +318,10 @@ class DetectPredictor:
         self.detector = YoloDetector(
             self._resolve_arch(arch, data_spec), nc=data_spec["nc"],
             imgsz=self.imgsz,
+            reg_max=(
+                int(train_cfg.get("reg_max"))
+                if train_cfg.get("reg_max") else None
+            ),
         )
         variables = self.detector.init(jax.random.key(0), imgsz=self.imgsz)
         model_state = {k: v for k, v in variables.items() if k != "params"}

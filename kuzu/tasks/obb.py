@@ -65,6 +65,7 @@ class OBBTrainer(DetectTrainer):
             box_w=float(self.cfg.get("box", 7.5)),
             cls_w=float(self.cfg.get("cls", 0.5)),
             dfl_w=float(self.cfg.get("dfl", 1.5)),
+            reg_max=self.detector.spec.reg_max,
         )
         return total, (metrics, dict(mutated))
 
@@ -162,11 +163,12 @@ def decode_rotated(detector, outputs, conf, iou_t, max_det):
     B = feats[0].shape[0]
     flat = [f.reshape(B, -1, f.shape[-1]) for f in feats]
     cat = jnp.concatenate(flat, axis=1).astype(jnp.float32)
-    pred_dist = cat[..., : 4 * REG_MAX]
-    cls = jax.nn.sigmoid(cat[..., 4 * REG_MAX :])
+    rm = detector.spec.reg_max
+    pred_dist = cat[..., : 4 * rm]
+    cls = jax.nn.sigmoid(cat[..., 4 * rm :])
     shapes = [(f.shape[1], f.shape[2]) for f in feats]
     anchor_points, stride_t = make_anchors(shapes, list(detector.strides))
-    dist = dfl_expectation(pred_dist, REG_MAX)
+    dist = dfl_expectation(pred_dist, rm)
     rb = dist2rbox(dist, angle, anchor_points[None]) * stride_t[None]
     rboxes = jnp.concatenate([rb, angle], -1)  # (B, A, 5) px
     scores = cls.max(-1)

@@ -172,6 +172,7 @@ class PoseTrainer(DetectTrainer):
             dfl_w=float(self.cfg.get("dfl", 1.5)),
             pose_w=float(self.cfg.get("pose", 12.0)),
             kobj_w=float(self.cfg.get("kobj", 1.0)),
+            reg_max=self.detector.spec.reg_max,
         )
         return total, (metrics, dict(mutated))
 

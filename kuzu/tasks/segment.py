@@ -81,6 +81,7 @@ class SegmentTrainer(DetectTrainer):
             cls_w=float(self.cfg.get("cls", 0.5)),
             dfl_w=float(self.cfg.get("dfl", 1.5)),
             max_fg=int(self.cfg.get("seg_max_fg", 128)),
+            reg_max=self.detector.spec.reg_max,
         )
         return total, (metrics, dict(mutated))
 

@@ -115,3 +115,39 @@ def test_nms_free_select_picks_top_scores():
     np.testing.assert_allclose(
         np.asarray(out["scores"][0])[v], [0.9, 0.6], atol=1e-6
     )
+
+
+def test_reg_max_override_head_loss_decode():
+    """reg_max is configurable end-to-end (the reference hardcodes 16,
+    ``nn/modules/head.py`` Detect.reg_max): a 32-bin head emits
+    4*32+nc channels, the loss consumes it, and decode can express box
+    extents beyond the 16-bin ceiling."""
+    import numpy as np
+
+    from kuzu.models.yolo.detector import YoloDetector
+    from kuzu.ops.detect_loss import detection_loss
+
+    det = YoloDetector("yolov8n", nc=2, imgsz=64, reg_max=32)
+    assert det.spec.reg_max == 32
+    variables = det.init(jax.random.key(0), imgsz=64)
+    feats = det.apply(variables, jnp.zeros((1, 64, 64, 3)), train=False)
+    assert feats[0].shape[-1] == 4 * 32 + 2
+
+    gt_boxes = jnp.asarray([[[2.0, 2.0, 62.0, 62.0]]])  # tall/wide box
+    total, metrics = detection_loss(
+        feats, jnp.zeros((1, 1), jnp.int32), gt_boxes,
+        jnp.ones((1, 1), bool), nc=2, imgsz=64, strides=tuple(det.strides),
+        reg_max=32,
+    )
+    assert np.isfinite(float(total))
+
+    # decode ceiling: saturate one anchor's DFL logits at the top bin on
+    # all four sides -> expected extent ~31 grid units * stride, beyond
+    # the 15-unit ceiling of reg_max=16
+    f = [np.zeros(np.asarray(x).shape, np.float32) for x in feats]
+    hot = np.full((4, 32), -20.0, np.float32)
+    hot[:, 31] = 20.0
+    f[2][0, 0, 0, : 4 * 32] = hot.reshape(-1)  # stride-32 level
+    pred = det.decode([jnp.asarray(x) for x in f])  # (B, 4+nc, A)
+    wh = np.asarray(pred[0, 2:4, :])
+    assert wh.max() >= 2 * 30 * 32  # ~2*31*32 px, far past 2*15*32
