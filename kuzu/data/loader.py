@@ -110,6 +110,8 @@ class DataLoader:
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)  # per-epoch augmentation seeds
 
     def _index_order(self) -> np.ndarray:
         n = len(self.dataset)

@@ -37,21 +37,39 @@ def load_letterboxed(
     fill: int = 255,
     mean: float = 0.5,
     std: float = 0.5,
+    rng: np.random.Generator | None = None,
 ) -> np.ndarray:
     """PIL load -> aspect resize -> top-left paste on fill canvas -> normalize.
 
     Host-side analogue of ``ResizeWithPadding`` (trocr_dataset.py:12-53):
-    content anchored at origin, white fill, (x-mean)/std.
+    content anchored at origin, white fill, (x-mean)/std. With ``rng``,
+    applies train-time augmentation: scale jitter + small paste offset +
+    brightness/contrast + gaussian noise (the reference fine-tunes from
+    pretrained TrOCR weights and can skip this; training from scratch in a
+    zero-egress image cannot).
     """
     try:
         img = Image.open(path).convert("RGB")
         w, h = img.size
         gain = min(out_h / h, out_w / w)
+        ox = oy = 0
+        if rng is not None:
+            gain *= float(rng.uniform(0.82, 1.0))
+            nw, nh = max(int(round(w * gain)), 1), max(int(round(h * gain)), 1)
+            ox = int(rng.integers(0, max(out_w - nw, 0) + 1))
+            oy = int(rng.integers(0, min(max(out_h - nh, 0), 12) + 1))
         nw, nh = max(int(round(w * gain)), 1), max(int(round(h * gain)), 1)
         img = img.resize((nw, nh), Image.BILINEAR)
         canvas = Image.new("RGB", (out_w, out_h), (fill,) * 3)
-        canvas.paste(img, (0, 0))
+        canvas.paste(img, (ox, oy))
         arr = np.asarray(canvas, np.float32) / 255.0
+        if rng is not None:
+            arr = arr * float(rng.uniform(0.85, 1.15))  # contrast
+            arr = arr + float(rng.uniform(-0.12, 0.12))  # brightness
+            sigma = float(rng.uniform(0.0, 0.04))
+            if sigma > 0:
+                arr = arr + rng.normal(0.0, sigma, arr.shape).astype(np.float32)
+            arr = np.clip(arr, 0.0, 1.0)
     except Exception:
         arr = np.full((out_h, out_w, 3), fill / 255.0, np.float32)
     return (arr - mean) / std
@@ -69,6 +87,8 @@ class ColumnInfoDataset:
         max_length: int = 128,
         image_root: str | Path | None = None,
         split_fracs: tuple[float, float] = (0.8, 0.1),  # train, val (rest test)
+        augment: bool = False,
+        seed: int = 0,
     ):
         import pandas as pd
 
@@ -77,6 +97,9 @@ class ColumnInfoDataset:
         self.image_size = image_size
         self.max_length = max_length
         self.image_root = Path(image_root) if image_root else self.csv_path.parent
+        self.augment = augment
+        self.seed = seed
+        self._epoch = 0
 
         df = pd.read_csv(self.csv_path)
         texts = [decode_unicode_ids(u) for u in df["unicode_ids"].astype(str)]
@@ -101,9 +124,19 @@ class ColumnInfoDataset:
     def __len__(self) -> int:
         return len(self.items)
 
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
     def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
         path, text = self.items[idx]
-        image = load_letterboxed(path, *self.image_size)
+        rng = (
+            np.random.default_rng(
+                (self.seed * 1_000_003 + self._epoch * 7919 + idx) % (2**31)
+            )
+            if self.augment
+            else None
+        )
+        image = load_letterboxed(path, *self.image_size, rng=rng)
         tokens = self.tokenizer.encode(text, max_length=self.max_length)
         length = int((tokens != self.tokenizer.pad_id).sum())
         return {
@@ -125,6 +158,8 @@ class OneLineDataset:
         max_length: int = 128,
         with_boxes: bool = False,
         max_boxes: int = 64,
+        augment: bool = False,
+        seed: int = 0,
     ):
         self.root = Path(root) / split
         self.tokenizer = tokenizer
@@ -132,6 +167,11 @@ class OneLineDataset:
         self.max_length = max_length
         self.with_boxes = with_boxes
         self.max_boxes = max_boxes
+        # geometric jitter would desync the letterboxed pixel boxes, so
+        # augmentation is gated off whenever boxes ride along
+        self.augment = augment and not with_boxes
+        self.seed = seed
+        self._epoch = 0
 
         img_root = self.root / "images"
         lbl_root = self.root / "labels"
@@ -163,9 +203,19 @@ class OneLineDataset:
     def __len__(self) -> int:
         return len(self.items)
 
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
     def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
         path, text, bbox_path = self.items[idx]
-        image = load_letterboxed(path, *self.image_size)
+        rng = (
+            np.random.default_rng(
+                (self.seed * 1_000_003 + self._epoch * 7919 + idx) % (2**31)
+            )
+            if self.augment
+            else None
+        )
+        image = load_letterboxed(path, *self.image_size, rng=rng)
         out: dict[str, np.ndarray] = {"image": image}
         if self.tokenizer is not None:
             tokens = self.tokenizer.encode(text, max_length=self.max_length)

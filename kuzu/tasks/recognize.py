@@ -56,13 +56,18 @@ class RecognizeTrainer(BaseTrainer):
                 tok_path = lm_tok
         tokenizer = CharTokenizer.load(tok_path) if tok_path else None
 
+        aug = bool(cfg.get("augment", True))
         if data.endswith(".csv"):
             make = lambda split, tok: ColumnInfoDataset(
-                data, tok, split=split, image_size=size, max_length=max_len
+                data, tok, split=split, image_size=size, max_length=max_len,
+                augment=aug and split == "train",
+                seed=int(cfg.get("seed", 0)),
             )
         else:
             make = lambda split, tok: OneLineDataset(
-                data, tok, split=split, image_size=size, max_length=max_len
+                data, tok, split=split, image_size=size, max_length=max_len,
+                augment=aug and split == "train",
+                seed=int(cfg.get("seed", 0)),
             )
         if tokenizer is None:
             probe = make("train", None)

@@ -103,17 +103,52 @@ def draw_glyph(d, ch: str, x: int, y: int, w: int, h: int, rng, ink=(40, 30, 25)
 # ------------------------------------------------------------- page synth
 
 
+class MarkovText:
+    """Seeded bigram text model over the real vocabulary: Zipf unigram
+    base + a sparse per-char successor table.
+
+    Real kuzushiji text has strong sequential structure (that is why the
+    reference pretrains a char-LM and rescores with it, P23/P25). The v2
+    harness drew characters i.i.d.-Zipf, which capped the LM at the
+    unigram prior (masked_acc 0.19) and made rescoring meaningless; a
+    bigram chain makes the LM learnable while keeping enough entropy that
+    recognition still has to read the glyphs."""
+
+    def __init__(self, n_chars: int, rng, k: int = 6, alpha: float = 0.85,
+                 zipf: float = 1.1):
+        ranks = rng.permutation(n_chars)
+        p = 1.0 / (np.argsort(ranks) + 1.0) ** zipf
+        self.p = p / p.sum()
+        # k successors per char, themselves Zipf-drawn; geometric weights
+        self.succ = rng.choice(n_chars, size=(n_chars, k), p=self.p)
+        w = 0.5 ** np.arange(k)
+        self.w = w / w.sum()
+        self.alpha = alpha
+        self._cdf = np.cumsum(self.p)
+        self._wcdf = np.cumsum(self.w)
+
+    def _base(self, rng) -> int:
+        return int(np.searchsorted(self._cdf, rng.random()))
+
+    def line(self, rng, length: int) -> list[int]:
+        out = [self._base(rng)]
+        for _ in range(length - 1):
+            if rng.random() < self.alpha:
+                j = int(np.searchsorted(self._wcdf, rng.random()))
+                out.append(int(self.succ[out[-1], j]))
+            else:
+                out.append(self._base(rng))
+        return out
+
+
 def synth_corpus(tok, n_lines: int, max_len: int, rng) -> list[str]:
-    """Zipf-distributed text over the real vocabulary."""
+    """Markov-structured text over the real vocabulary."""
     chars = [c for c in tok.vocab if len(c) == 1]
-    ranks = rng.permutation(len(chars))
-    p = 1.0 / (np.argsort(ranks) + 1.0) ** 1.1
-    p /= p.sum()
+    mk = MarkovText(len(chars), rng)
     lines = []
     for _ in range(n_lines):
         ln = int(rng.integers(max_len // 3, max_len))
-        idx = rng.choice(len(chars), size=ln, p=p)
-        lines.append("".join(chars[i] for i in idx))
+        lines.append("".join(chars[i] for i in mk.line(rng, ln)))
     return lines
 
 
@@ -123,6 +158,7 @@ def synth_dense_pages(
     n_val: int = 12,
     page: int = PAGE,
     seed: int = 0,
+    extra_cols: int = 6000,
 ) -> dict:
     """Build the production dataset suite: dense pages (≥800 glyphs/page),
     page-level char labels (nc=1), column labels, tiled char-detect set,
@@ -136,9 +172,7 @@ def synth_dense_pages(
     tok = production_tokenizer()
     rng = np.random.default_rng(seed)
     chars = [c for c in tok.vocab if len(c) == 1]
-    ranks = rng.permutation(len(chars))
-    p = 1.0 / (np.argsort(ranks) + 1.0) ** 1.1
-    p /= p.sum()
+    mk = MarkovText(len(chars), rng)
 
     root = Path(root)
     csv_rows = ["column_image,original_image,box_in_original,unicode_ids"]
@@ -172,8 +206,9 @@ def synth_dense_pages(
                         y + int(rng.integers(280, 680)), page - 20
                     )
                     col_chars, col_boxes = [], []
+                    seg_text = [chars[i] for i in mk.line(rng, 80)]
                     while y < seg_end:
-                        ch = chars[int(rng.choice(len(chars), p=p))]
+                        ch = seg_text[len(col_chars)]
                         w = cw + int(rng.integers(-3, 4))
                         h = int(w * rng.uniform(0.9, 1.4))
                         x = int(cx - w / 2 + rng.integers(-3, 4))
@@ -219,6 +254,45 @@ def synth_dense_pages(
                 "\n".join(col_rows)
             )
             stats["glyphs_per_page"].append(glyphs)
+    # standalone train-only column strips: TrOCR trains from scratch here
+    # (the reference starts from pretrained VisionEncoderDecoder weights,
+    # ``src/models/trocr_model.py``; zero-egress forbids that), so the
+    # recognizer needs far more supervised columns than 60 pages yield —
+    # v2's ~2k train columns memorized (train acc 0.89, val CER 0.93).
+    # Inserted right after the csv header so the ColumnInfoDataset in-file
+    # split keeps val/test purely page-derived.
+    extra_rows: list[str] = []
+    if extra_cols:
+        xdir = root / "columns" / "extra"
+        xdir.mkdir(parents=True, exist_ok=True)
+        for i in range(extra_cols):
+            cw = int(rng.integers(15, 22))
+            n_ch = int(rng.integers(8, 36))
+            text = [chars[j] for j in mk.line(rng, n_ch)]
+            W = cw + 16
+            bg = 225 + int(rng.integers(0, 20))
+            # generous canvas, crop to content after drawing
+            canvas = Image.new("RGB", (W, n_ch * 34 + 24), (bg, bg - 5, bg - 18))
+            d = ImageDraw.Draw(canvas)
+            y, boxes = 12, []
+            for ch in text:
+                w = cw + int(rng.integers(-3, 4))
+                h = int(w * rng.uniform(0.9, 1.4))
+                x = max(0, min(W - w - 1, (W - w) // 2 + int(rng.integers(-3, 4))))
+                draw_glyph(d, ch, x, y, w, h, rng)
+                boxes.append((x, y, x + w, y + h))
+                y += h + int(rng.integers(1, 6))
+            bx = np.array(boxes)
+            crop = canvas.crop((0, 0, W, min(canvas.height, int(bx[:, 3].max()) + 12)))
+            cpth = xdir / f"x{i}.png"
+            crop.save(cpth)
+            uni = " ".join(f"U+{ord(c):04X}" for c in text)
+            extra_rows.append(
+                f"{cpth.relative_to(root)},extra,\"0,0,{crop.width},{crop.height}\",{uni}"
+            )
+            corpus["train"].append("".join(text))
+    csv_rows[1:1] = extra_rows
+
     for name in ("char", "col"):
         (root / name / "dataset.yaml").write_text(
             yaml.safe_dump(
@@ -246,6 +320,8 @@ def synth_dense_pages(
         "glyphs_per_page_max": int(gp.max()),
         "vocab": len(tok),
         "columns": len(csv_rows) - 1,
+        "extra_columns": len(extra_rows),
+        "text_model": "markov-bigram",
     }
     (root / "meta.json").write_text(json.dumps(meta, indent=2))
     print(json.dumps(meta))
@@ -265,14 +341,17 @@ def train_stage(root: Path, stage: str, **overrides) -> dict:
         m = Model("yolov12s", task="detect")
         # columns train at the native 1280 page size: at 640 a ~16 px-wide
         # column becomes 8 px — under-resolved for stride-8 anchors (one
-        # anchor column inside) and the detector plateaued at mAP50 0.69;
-        # 1280 keeps widths at 4 anchor columns and segment heights inside
-        # the DFL range (<=480 px per side at stride 32)
+        # anchor column inside) and the detector plateaued at mAP50 0.69.
+        # reg_max=32 doubles the DFL extent ceiling: at the default 16,
+        # stride-16 anchors cap box height at 2*16*16=512 px and the v2 run
+        # systematically truncated taller column segments (pred heights
+        # capped ~512, every 500-655 px GT unmatched; mAP50 0.69 plateau)
         results["col"] = dict(
             m.train(
                 data=str(root / "col" / "dataset.yaml"),
                 imgsz=1280, epochs=int(overrides.get("col_epochs", 40)),
                 batch=4, dtype="bfloat16", max_boxes=64, max_det=96,
+                reg_max=32,
                 project=str(root / "runs"), name="col", exist_ok=True,
                 **({"workers": 2}),
             )

@@ -75,3 +75,36 @@ def test_loader_single_process_sharding_noop():
     assert dl.process_count == 1 and dl.local_batch == 4
     batches = list(dl)
     assert batches[0]["x"].shape == (4,)
+
+
+def test_ocr_dataset_augmentation_deterministic_and_epoch_varying(tmp_path):
+    """Train-time OCR augmentation: per-(seed, epoch, idx) deterministic,
+    varies across epochs, off for val (from-scratch TrOCR needs it; the
+    reference starts from pretrained weights and does not)."""
+    import numpy as np
+    from PIL import Image
+
+    from kuzu.data.ocr_datasets import ColumnInfoDataset
+    from kuzu.data.tokenizer import CharTokenizer
+
+    img = tmp_path / "c.png"
+    Image.fromarray(
+        (np.random.default_rng(0).random((80, 20, 3)) * 255).astype(np.uint8)
+    ).save(img)
+    csv = tmp_path / "column_info.csv"
+    csv.write_text(
+        "column_image,original_image,box_in_original,unicode_ids\n"
+        + "\n".join(f"c.png,x,\"0,0,20,80\",U+4E00 U+4E01" for _ in range(10))
+    )
+    tok = CharTokenizer.train(["一丁"])
+
+    mk = lambda aug: ColumnInfoDataset(
+        csv, tok, split="train", image_size=(128, 32), augment=aug
+    )
+    a, b = mk(True), mk(True)
+    assert np.allclose(a[0]["image"], b[0]["image"])  # deterministic
+    assert not np.allclose(a[0]["image"], a[1]["image"])  # per-idx variation
+    b.set_epoch(1)
+    assert not np.allclose(a[0]["image"], b[0]["image"])  # per-epoch variation
+    plain = mk(False)
+    assert np.allclose(plain[0]["image"], plain[1]["image"])  # no aug on val
