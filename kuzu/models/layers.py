@@ -98,6 +98,12 @@ class MultiHeadAttention(nn.Module):
     dtype: Dtype = jnp.float32
     use_cache: bool = False
     max_len: int = 0
+    # 'einsum' | 'flash' (kernel at eval, einsum in train) | 'flash_train'
+    # (Pallas kernel + VMEM flash VJP in both modes) | 'flash_interpret'
+    # (same kernels, Pallas interpret mode — CPU tests). Kernel path only
+    # for unmasked, uncached self-attention (the ViT encoder); masked /
+    # cached / cross attention always takes the einsum path.
+    attn_impl: str = "einsum"
 
     @nn.compact
     def __call__(
@@ -116,9 +122,34 @@ class MultiHeadAttention(nn.Module):
         def split(t):
             return t.reshape(t.shape[0], t.shape[1], h, head_dim)
 
-        q = split(nn.Dense(d, dtype=self.dtype, name="q")(x))
-        k = split(nn.Dense(d, dtype=self.dtype, name="k")(kv_in))
-        v = split(nn.Dense(d, dtype=self.dtype, name="v")(kv_in))
+        qf = nn.Dense(d, dtype=self.dtype, name="q")(x)
+        kf = nn.Dense(d, dtype=self.dtype, name="k")(kv_in)
+        vf = nn.Dense(d, dtype=self.dtype, name="v")(kv_in)
+
+        interp = self.attn_impl == "flash_interpret"
+        n = x.shape[1]
+        flash_ok = (
+            self.attn_impl in ("flash", "flash_train", "flash_interpret")
+            and kv is None
+            and mask is None
+            and decode_step is None
+            and not self.use_cache
+            and (deterministic or self.attn_impl in ("flash_train", "flash_interpret"))
+            and (self.dropout == 0.0 or deterministic)
+            and n % 16 == 0
+            and n * n * 4 <= 8 * 2**20
+            and (jax.default_backend() == "tpu" or interp)
+        )
+        if flash_ok:
+            # head-packed (B, T, C) is the kernel's native layout; the
+            # custom-vjp wrapper keeps training differentiable (VMEM flash
+            # backward, ops/flash_attention.py::area_attention_bwd)
+            from kuzu.ops.flash_attention import area_attention_trainable
+
+            out = area_attention_trainable(qf, kf, vf, h, interp)
+            return nn.Dense(d, dtype=self.dtype, name="out")(out)
+
+        q, k, v = split(qf), split(kf), split(vf)
 
         if self.use_cache and decode_step is not None:
             # self-attention decode: append this step's k/v into the cache
@@ -166,12 +197,14 @@ class EncoderBlock(nn.Module):
     mlp_ratio: float = 4.0
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
+    attn_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         x = x + MultiHeadAttention(
-            self.num_heads, self.dropout, self.dtype, name="attn"
+            self.num_heads, self.dropout, self.dtype,
+            attn_impl=self.attn_impl, name="attn",
         )(y, deterministic=deterministic)
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         x = x + Mlp(

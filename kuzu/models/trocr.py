@@ -43,6 +43,7 @@ class ViTEncoder(nn.Module):
     mlp_ratio: float = 4.0
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    attn_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -53,7 +54,7 @@ class ViTEncoder(nn.Module):
         for i in range(self.depth):
             x = EncoderBlock(
                 self.num_heads, self.mlp_ratio, self.dropout, self.dtype,
-                name=f"block{i}",
+                attn_impl=self.attn_impl, name=f"block{i}",
             )(x, deterministic=not train)
         return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
 
@@ -129,6 +130,20 @@ class TrOCR(nn.Module):
     dropout: float = 0.0
     encoder_type: str = "vit"  # 'vit' | 'unet' (LitOCR parity) | 'csa'
     dtype: Any = jnp.float32
+    # 'auto' resolves at construction: flash_train on TPU (Pallas encoder
+    # self-attention with the VMEM flash VJP, same kernels as the YOLO
+    # path — the 256-token 1024x64 production shape fits comfortably),
+    # einsum elsewhere; see MultiHeadAttention.attn_impl
+    attn_impl: str = "auto"
+
+    def _enc_attn_impl(self) -> str:
+        if self.attn_impl == "auto":
+            import jax
+
+            return (
+                "flash_train" if jax.default_backend() == "tpu" else "einsum"
+            )
+        return self.attn_impl
 
     def setup(self) -> None:
         if self.encoder_type == "unet":
@@ -161,6 +176,7 @@ class TrOCR(nn.Module):
                 self.enc_depth,
                 self.enc_heads,
                 dropout=self.dropout,
+                attn_impl=self._enc_attn_impl(),
                 dtype=self.dtype,
             )
         self.decoder = ARDecoder(

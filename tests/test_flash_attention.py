@@ -183,3 +183,34 @@ def test_flash_bwd_kernel_matches_autodiff(rng):
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             atol=2e-3, rtol=2e-2,
         )
+
+
+def test_trocr_encoder_flash_matches_einsum_fwd_and_grad():
+    """MultiHeadAttention's flash path (ViT encoder self-attention) is
+    numerically the einsum path: same params, same output, same input
+    gradient — kernels in Pallas interpret mode on CPU."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kuzu.models.trocr import ViTEncoder
+
+    kw = dict(image_size=(128, 32), patch_size=(16, 16), dim=32, depth=2,
+              num_heads=2)
+    enc_e = ViTEncoder(**kw, attn_impl="einsum")
+    enc_f = ViTEncoder(**kw, attn_impl="flash_interpret")
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 128, 32, 3)), jnp.float32
+    )
+    variables = enc_e.init(jax.random.key(0), x, train=False)
+
+    ye = enc_e.apply(variables, x, train=False)
+    yf = enc_f.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(ye), np.asarray(yf), atol=2e-5)
+
+    def loss(fn):
+        return lambda v, inp: (fn.apply(v, inp, train=True) ** 2).sum()
+
+    ge = jax.grad(loss(enc_e), argnums=1)(variables, x)
+    gf = jax.grad(loss(enc_f), argnums=1)(variables, x)
+    np.testing.assert_allclose(np.asarray(ge), np.asarray(gf), atol=3e-4)
