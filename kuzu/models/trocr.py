@@ -259,7 +259,10 @@ def greedy_generate(
 
 
 @partial(
-    jax.jit, static_argnames=("model", "max_len", "bos_id", "eos_id", "num_beams")
+    jax.jit,
+    static_argnames=(
+        "model", "max_len", "bos_id", "eos_id", "num_beams", "return_nbest",
+    ),
 )
 def beam_generate(
     model: TrOCR,
@@ -270,11 +273,15 @@ def beam_generate(
     eos_id: int = 3,
     num_beams: int = 4,
     length_penalty: float = 1.0,
+    return_nbest: bool = False,
 ) -> jnp.ndarray:
     """Batched beam search (reference beam=4) in fixed shapes.
 
     Beams fold into the batch axis ((B*K, ...)); the KV cache is gathered
-    when beams reorder. Returns best sequences (B, max_len).
+    when beams reorder. Returns best sequences (B, max_len), or with
+    ``return_nbest`` the full candidate set ((B, K, max_len) tokens,
+    (B, K) length-normalized scores) for external rescoring — the
+    reference's LM-rescoring recipe reranks n-best hypotheses (P25).
     """
     b = images.shape[0]
     k = num_beams
@@ -330,6 +337,8 @@ def beam_generate(
     # length-normalized best beam
     lengths = (tokens != 0).sum(-1).astype(jnp.float32)
     norm = scores / jnp.maximum(lengths, 1.0) ** length_penalty
+    if return_nbest:
+        return tokens, norm
     best = norm.argmax(-1)
     return jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0]
 

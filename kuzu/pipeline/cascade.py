@@ -41,9 +41,11 @@ class KuzushijiPipeline:
         tile_overlap: float = 0.15,
         conf: float = 0.25,
         margin: float = 0.05,  # column crop margin (reference padding ratio)
-        decode: str = "greedy",  # 'beam' = reference num_beams=4 semantics
+        decode: str = "greedy",  # 'beam' = reference num_beams=4;
+        # 'beam_lm' = beam n-best reranked by the char-LM (needs ``lm``)
         num_beams: int = 4,
         max_det: int = 300,  # production char detection: 2000
+        lm_weight: float = 0.3,  # beam_lm: score = beam + lm_weight * PLL
     ):
         from kuzu.core.config import load_config
 
@@ -53,6 +55,7 @@ class KuzushijiPipeline:
         self.decode = decode
         self.num_beams = num_beams
         self.max_det = max_det
+        self.lm_weight = lm_weight
         self.column_det = None
         self.char_det = None
         self.recognizer = None
@@ -224,17 +227,47 @@ class KuzushijiPipeline:
         n = len(batch)
         batch.extend([np.zeros_like(batch[0])] * (next_bucket(n) - n))
         images = jnp.asarray(np.stack(batch))
+        tok = self.recognizer.tokenizer
+        if self.decode == "beam_lm":
+            # n-best reranking: beam candidates rescored by the char-LM's
+            # masked pseudo-log-likelihood (the reference's LM-rescoring
+            # recipe, P25 ``lm_demo`` rerank) — the LM corrects transcripts
+            # instead of only annotating them
+            assert self.lm is not None, "decode='beam_lm' needs an LM"
+            from kuzu.models.trocr import beam_generate
+
+            tokens, norm = beam_generate(
+                self.recognizer.model,
+                self.recognizer.params,
+                images,
+                max_len=self.recognizer.model.max_len,
+                bos_id=tok.bos_id,
+                eos_id=tok.eos_id,
+                num_beams=self.num_beams,
+                return_nbest=True,
+            )
+            tokens = np.asarray(tokens)[:n]  # (n, K, T)
+            norm = np.asarray(norm)[:n]  # (n, K)
+            K = tokens.shape[1]
+            cand = [
+                tok.batch_decode(tokens[i]) for i in range(n)
+            ]  # n lists of K texts
+            flat = [t for group in cand for t in group]
+            pll = np.asarray(self.rescore_texts(flat)).reshape(n, K)
+            final = norm + self.lm_weight * pll
+            best = final.argmax(1)
+            return [cand[i][int(best[i])] for i in range(n)]
         out = generate(
             self.recognizer.model,
             self.recognizer.params,
             images,
             max_len=self.recognizer.model.max_len,
-            bos_id=self.recognizer.tokenizer.bos_id,
-            eos_id=self.recognizer.tokenizer.eos_id,
+            bos_id=tok.bos_id,
+            eos_id=tok.eos_id,
             decode=self.decode,
             num_beams=self.num_beams,
         )
-        return self.recognizer.tokenizer.batch_decode(np.asarray(out)[:n])
+        return tok.batch_decode(np.asarray(out)[:n])
 
     @staticmethod
     def _letterbox_crop(crop: np.ndarray, size: tuple[int, int]) -> np.ndarray:

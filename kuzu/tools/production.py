@@ -513,6 +513,12 @@ def quality(root: Path) -> dict:
         "rec_cer": cer,
         "max_det": 2000,
     }
+    if pipe.lm is not None:
+        # does LM n-best reranking actually correct transcripts?
+        pipe.decode = "beam_lm"
+        res["rec_cer_beam_lm"] = character_error_rate(
+            pipe.recognize_crops(crops), texts
+        )
     print(json.dumps(res))
     return res
 

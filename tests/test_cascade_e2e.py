@@ -294,3 +294,30 @@ def test_batched_tiled_pages(pipeline_runs):
     b = np.asarray(out[0]["characters"]["boxes"])
     if len(b):
         assert (b >= 0).all() and (b[:, [0, 2]] <= 192).all()
+
+
+def test_beam_lm_rescoring_decodes(pipeline_runs):
+    """decode='beam_lm': beam n-best reranked by the char-LM PLL picks a
+    transcript per crop (reference P25 rerank recipe); output count and
+    type match greedy, and candidates come from the beam set."""
+    import cv2
+
+    from kuzu.pipeline.cascade import KuzushijiPipeline
+
+    pipe = KuzushijiPipeline(
+        recognizer=pipeline_runs["rec"],
+        lm=pipeline_runs["lm"],
+        decode="beam_lm",
+        num_beams=2,
+    )
+    img = cv2.cvtColor(cv2.imread(str(pipeline_runs["page"])), cv2.COLOR_BGR2RGB)
+    crops = [img[10:150, 20:60], img[10:150, 90:130]]
+    texts = pipe.recognize_crops(crops)
+    assert len(texts) == 2 and all(isinstance(t, str) for t in texts)
+
+    # no LM configured -> clear error
+    bare = KuzushijiPipeline(recognizer=pipeline_runs["rec"], decode="beam_lm")
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="needs an LM"):
+        bare.recognize_crops(crops)
