@@ -519,8 +519,74 @@ def quality(root: Path) -> dict:
         res["rec_cer_beam_lm"] = character_error_rate(
             pipe.recognize_crops(crops), texts
         )
+        pipe.decode = "greedy"
+    res.update(e2e_page_quality(root, pipe))
     print(json.dumps(res))
     return res
+
+
+def e2e_page_quality(root: Path, pipe, max_pages: int = 8) -> dict:
+    """End-to-end page→text CER — the north-star metric: full cascade on
+    val pages, predicted columns matched to GT columns at IoU ≥ 0.5,
+    corpus CER = (edits over matched + full deletion cost of missed GT +
+    full insertion cost of spurious columns) / total GT chars. Mirrors the
+    reference's whole-pipeline evaluation (``scripts/evaluation.py``)."""
+    from kuzu.core.metrics import box_iou_np, levenshtein
+    from kuzu.data.ocr_datasets import decode_unicode_ids
+
+    root = Path(root)
+    gt_by_page: dict[str, list[tuple[np.ndarray, str]]] = {}
+    header, *rows = (root / "column_info.csv").read_text(
+        encoding="utf-8"
+    ).splitlines()
+    for r in rows:
+        col_img, orig, rest = r.split(",", 2)
+        box_s, uni = rest.rsplit(",", 1)
+        if not orig.startswith("val/"):
+            continue
+        box = np.array([float(x) for x in box_s.strip('"').split(",")])
+        gt_by_page.setdefault(orig.split("/", 1)[1], []).append(
+            (box, decode_unicode_ids(uni))
+        )
+
+    pages = sorted(gt_by_page)[:max_pages]
+    paths = [root / "col/images/val" / p for p in pages]
+    results = pipe.process_pages(paths)
+    edits = gt_chars = matched = n_gt = n_spurious = 0
+    for page, res in zip(pages, results):
+        gt = gt_by_page[page]
+        gt_boxes = np.stack([b for b, _ in gt])
+        pred = res["columns"]
+        n_gt += len(gt)
+        gt_chars += sum(len(t) for _, t in gt)
+        if not pred:
+            edits += sum(len(t) for _, t in gt)
+            continue
+        pb = np.array([c["box"] for c in pred])
+        iou = box_iou_np(gt_boxes, pb)  # (G, P)
+        used = np.zeros(len(pred), bool)
+        taken = np.zeros(len(gt), bool)
+        # greedy best-IoU matching
+        for _ in range(min(len(gt), len(pred))):
+            g, p = np.unravel_index(np.argmax(iou), iou.shape)
+            if iou[g, p] < 0.5:
+                break
+            iou[g, :] = -1
+            iou[:, p] = -1
+            used[p] = taken[g] = True
+            matched += 1
+            edits += levenshtein(pred[p].get("text", ""), gt[g][1])
+        edits += sum(len(t) for (_, t), tk in zip(gt, taken) if not tk)
+        spurious = [c for c, u in zip(pred, used) if not u]
+        n_spurious += len(spurious)
+        edits += sum(len(c.get("text", "")) for c in spurious)
+    return {
+        "e2e_cer": edits / max(gt_chars, 1),
+        "e2e_columns_matched": matched,
+        "e2e_columns_gt": n_gt,
+        "e2e_columns_spurious": n_spurious,
+        "e2e_pages": len(pages),
+    }
 
 
 def sample(root: Path, out_dir: Path | None = None) -> dict:

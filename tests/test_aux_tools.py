@@ -89,3 +89,40 @@ def test_benchmark_table_format():
     t = format_table(rows)
     assert "model" in t and "yolo" in t
     assert format_table([]) == "(no results)"
+
+
+def test_e2e_page_quality_matching_and_cer(tmp_path):
+    """e2e page CER: matched columns score edit distance, missed GT counts
+    as full deletions, spurious predictions as full insertions."""
+    import numpy as np
+
+    from kuzu.tools.production import e2e_page_quality
+
+    (tmp_path / "col/images/val").mkdir(parents=True)
+    (tmp_path / "col/images/val/p0.jpg").write_bytes(b"")
+    (tmp_path / "column_info.csv").write_text(
+        "column_image,original_image,box_in_original,unicode_ids\n"
+        'columns/extra/x0.png,extra,"0,0,30,100",U+4E00\n'
+        'columns/val/a.png,val/p0.jpg,"10,10,40,200",U+4E00 U+4E01 U+4E09\n'
+        'columns/val/b.png,val/p0.jpg,"60,10,90,200",U+4E09 U+4E0A\n'
+    )
+
+    class FakePipe:
+        def process_pages(self, paths):
+            assert len(paths) == 1
+            return [{
+                "columns": [
+                    # matches GT a (IoU 1.0), text has 1 edit vs 一丁三
+                    {"box": [10, 10, 40, 200], "text": "一丁七"},
+                    # spurious column, 2 chars -> 2 insertions
+                    {"box": [300, 10, 330, 200], "text": "xy"},
+                ]
+            }]
+
+    res = e2e_page_quality(tmp_path, FakePipe())
+    assert res["e2e_columns_gt"] == 2
+    assert res["e2e_columns_matched"] == 1
+    assert res["e2e_columns_spurious"] == 1
+    # edits: 1 (matched, 七 vs 三... both differ at pos 2) + 2 (missed GT b)
+    # + 2 (spurious) = 5; gt chars = 5
+    assert abs(res["e2e_cer"] - 5 / 5) < 1e-9
