@@ -57,8 +57,21 @@ def resolve_val_batches(cfg: Config, loader: Any, key: str = "val_batches") -> i
 
 
 class BaseTrainer:
+    # optimizer='auto' resolution for this task family (see train())
+    auto_optimizer = "sgd"
+
     def __init__(self, cfg: Config):
         self.cfg = cfg
+        if str(cfg.get("optimizer", "auto")).lower() == "auto":
+            # task-aware auto rule (the reference's optimizer='auto' also
+            # resolves per-regime, ``engine/trainer.py`` build_optimizer):
+            # SGD suits the BN conv nets; from-scratch transformers need
+            # Adam — under SGD lr0=0.01 the production TrOCR stalled at
+            # val CER ~0.9 while every adamw run converges. Resolved here
+            # so args.yaml records the actual optimizer.
+            cfg.optimizer = self.auto_optimizer
+            if self.auto_optimizer == "adamw" and float(cfg.get("lr0", 0.01)) == 0.01:
+                cfg.lr0 = 3e-4  # 0.01 is the SGD default, far too hot for Adam
         self.callbacks = CallbackRegistry()
         mesh_cfg = cfg.get("mesh", {})
         import jax as _jax

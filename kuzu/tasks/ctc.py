@@ -36,6 +36,8 @@ def _image_size(cfg) -> tuple[int, int]:
 
 
 class CTCTrainer(BaseTrainer):
+    auto_optimizer = "adamw"  # reference ocr_lightning trains with Adam
+
     def build_datasets(self):
         cfg = self.cfg
         size = _image_size(cfg)

@@ -59,6 +59,8 @@ class TextLineDataset:
 
 
 class LMTrainer(BaseTrainer):
+    auto_optimizer = "adamw"  # transformer LM: Adam, not the YOLO SGD rule
+
     def build_datasets(self):
         cfg = self.cfg
         max_len = int(cfg.get("max_length", 128))

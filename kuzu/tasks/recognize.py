@@ -39,6 +39,11 @@ def _image_size(cfg) -> tuple[int, int]:
 
 
 class RecognizeTrainer(BaseTrainer):
+    # from-scratch TrOCR under the YOLO SGD auto-rule stalls (production
+    # v2/v3 plateaued at val CER ~0.9); the reference fine-tunes with
+    # AdamW (lightning default)
+    auto_optimizer = "adamw"
+
     def build_datasets(self):
         cfg = self.cfg
         data = str(cfg.data)

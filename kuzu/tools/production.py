@@ -393,6 +393,9 @@ def train_stage(root: Path, stage: str, **overrides) -> dict:
                 tokenizer=str(root / "tokenizer.json"),
                 imgsz=[1024, 64], epochs=int(overrides.get("rec_epochs", 60)),
                 batch=16, max_label_length=128, dtype="bfloat16",
+                # explicit: the YOLO SGD auto-rule stalls from-scratch
+                # transformers (v2/v3 plateaued at val CER ~0.9)
+                optimizer="adamw", lr0=3e-4, warmup_epochs=1.0,
                 project=str(root / "runs"), name="rec", exist_ok=True,
                 workers=2, **kw,
             )

@@ -102,3 +102,35 @@ def test_lm_restoration_predictor(corpus_dir, tmp_path):
     assert len(out) == 1
     assert "〓" not in out[0]
     assert len(out[0]) == 8  # restored to full length
+
+
+def test_auto_optimizer_resolves_per_task(tmp_path):
+    """optimizer='auto' resolves task-aware: adamw (lr 3e-4) for the
+    transformer tasks, sgd for detect — from-scratch transformers stall
+    under the YOLO SGD rule (production TrOCR plateaued at CER ~0.9)."""
+    from kuzu.core.config import load_config
+    from kuzu.tasks.ctc import CTCTrainer
+    from kuzu.tasks.detect import DetectTrainer
+    from kuzu.tasks.lm import LMTrainer
+    from kuzu.tasks.recognize import RecognizeTrainer
+
+    assert DetectTrainer.auto_optimizer == "sgd"
+    assert RecognizeTrainer.auto_optimizer == "adamw"
+    assert LMTrainer.auto_optimizer == "adamw"
+    assert CTCTrainer.auto_optimizer == "adamw"
+
+    (tmp_path / "corpus").mkdir()
+    (tmp_path / "corpus" / "train.txt").write_text("abcab\nbcabc\ncabca\n" * 8)
+    (tmp_path / "corpus" / "val.txt").write_text("abcab\n")
+    cfg = load_config(
+        overrides=dict(
+            task="lm", data=str(tmp_path / "corpus"), epochs=1, batch=4,
+            max_length=8, dim=16, depth=1, heads=2, workers=0,
+            dtype="float32", project=str(tmp_path / "runs"), name="auto",
+            exist_ok=True,
+        )
+    )
+    assert cfg.get("optimizer", "auto") == "auto"
+    t = LMTrainer(cfg)
+    t.train()
+    assert t.cfg.optimizer == "adamw" and float(t.cfg.lr0) == 3e-4
