@@ -159,6 +159,7 @@ def synth_dense_pages(
     page: int = PAGE,
     seed: int = 0,
     extra_cols: int = 6000,
+    text_alpha: float = 0.5,
 ) -> dict:
     """Build the production dataset suite: dense pages (≥800 glyphs/page),
     page-level char labels (nc=1), column labels, tiled char-detect set,
@@ -172,7 +173,13 @@ def synth_dense_pages(
     tok = production_tokenizer()
     rng = np.random.default_rng(seed)
     chars = [c for c in tok.vocab if len(c) == 1]
-    mk = MarkovText(len(chars), rng)
+    # alpha tunes the bigram strength. 0.85 made the chain SO predictable
+    # that teacher-forced TrOCR training satisfied itself from the text
+    # prior alone and never bootstrapped cross-attention (both v3 runs
+    # plateaued at train token_acc ~0.43 = exactly the causal-prediction
+    # ceiling of the chain, with val CER ~1.0). 0.5 keeps the LM learnable
+    # (masked ceiling ~0.4) while making the image the dominant signal.
+    mk = MarkovText(len(chars), rng, alpha=text_alpha)
 
     root = Path(root)
     csv_rows = ["column_image,original_image,box_in_original,unicode_ids"]
@@ -267,7 +274,10 @@ def synth_dense_pages(
         xdir.mkdir(parents=True, exist_ok=True)
         for i in range(extra_cols):
             cw = int(rng.integers(15, 22))
-            n_ch = int(rng.integers(8, 36))
+            # short columns included deliberately: with 2-7 chars there is
+            # almost no text context, so the image is the only signal —
+            # they bootstrap cross-attention before the LM shortcut can win
+            n_ch = int(rng.integers(2, 36))
             text = [chars[j] for j in mk.line(rng, n_ch)]
             W = cw + 16
             bg = 225 + int(rng.integers(0, 20))
