@@ -230,13 +230,26 @@ def greedy_generate(
     bos_id: int = 2,
     eos_id: int = 3,
 ) -> jnp.ndarray:
-    """Batched greedy decoding, one fused XLA program. Returns (B, max_len)."""
+    """Batched greedy decoding, one fused XLA program. Returns (B, max_len).
+
+    A ``lax.while_loop`` with an all-done exit instead of a fixed
+    ``max_len`` scan: every decode step is a full sequential decoder pass,
+    and real kuzushiji columns run ~2-40 characters against the 128-token
+    ceiling, so stopping when the whole batch has emitted EOS removes the
+    dominant cascade cost. All shapes inside the loop stay static; only
+    the trip count is data-dependent (identical output either way — the
+    skipped steps would only have appended padding).
+    """
     memory = model.apply({"params": params}, images, method=TrOCR.encode)
     b = images.shape[0]
     cache = _init_cache(model, params, b, memory)
 
-    def body(carry, step):
-        tok, cache, done = carry
+    def cond(state):
+        step, _, _, done, _ = state
+        return (step < max_len) & ~done.all()
+
+    def body(state):
+        step, tok, cache, done, out = state
         logits, mut = model.apply(
             {"params": params, "cache": cache},
             tok,
@@ -248,14 +261,15 @@ def greedy_generate(
         nxt = logits[:, -1].argmax(-1).astype(jnp.int32)[:, None]
         nxt = jnp.where(done[:, None], jnp.zeros_like(nxt), nxt)
         done = done | (nxt[:, 0] == eos_id)
-        return (nxt, mut["cache"], done), nxt[:, 0]
+        out = jax.lax.dynamic_update_slice(out, nxt, (0, step))
+        return (step + 1, nxt, mut["cache"], done, out)
 
     tok0 = jnp.full((b, 1), bos_id, jnp.int32)
     done0 = jnp.zeros((b,), bool)
-    (_, _, _), out = jax.lax.scan(
-        body, (tok0, cache, done0), jnp.arange(max_len)
-    )
-    return out.T  # (B, max_len)
+    out0 = jnp.zeros((b, max_len), jnp.int32)
+    state = (jnp.int32(0), tok0, cache, done0, out0)
+    *_, out = jax.lax.while_loop(cond, body, state)
+    return out  # (B, max_len)
 
 
 @partial(
@@ -301,8 +315,14 @@ def beam_generate(
         flat_idx = (idx + jnp.arange(b)[:, None] * k).reshape(-1)
         return jax.tree.map(lambda t: t[flat_idx], tree)
 
-    def body(carry, step):
-        tok, cache, scores, tokens, done = carry
+    def cond(state):
+        step, _, _, _, _, done = state
+        # all beams of all batch rows finished -> later steps only append
+        # PAD at zero cost; exit early (columns are far shorter than max_len)
+        return (step < max_len) & ~done.all()
+
+    def body(state):
+        step, tok, cache, scores, tokens, done = state
         logits, mut = model.apply(
             {"params": params, "cache": cache},
             tok,
@@ -329,11 +349,10 @@ def beam_generate(
         tokens = tokens.at[:, :, step].set(jnp.where(done, 0, tok_idx))
         done = done | (tok_idx == eos_id)
         new_tok = jnp.where(done, 0, tok_idx).reshape(b * k, 1)
-        return (new_tok, cache, new_scores, tokens, done), None
+        return (step + 1, new_tok, cache, new_scores, tokens, done)
 
-    (_, _, scores, tokens, done), _ = jax.lax.scan(
-        body, (tok0, cache, scores0, tokens0, done0), jnp.arange(max_len)
-    )
+    state = (jnp.int32(0), tok0, cache, scores0, tokens0, done0)
+    _, _, _, scores, tokens, done = jax.lax.while_loop(cond, body, state)
     # length-normalized best beam
     lengths = (tokens != 0).sum(-1).astype(jnp.float32)
     norm = scores / jnp.maximum(lengths, 1.0) ** length_penalty

@@ -15,6 +15,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @partial(jax.jit, static_argnames=("out_h", "out_w", "method", "center"))
@@ -91,8 +92,11 @@ def normalize_image(
     return (image - mean) / std
 
 
-# Kuzushiji dataset channel stats (reference src/configs/preprocessing.yaml:18-20)
-KUZUSHIJI_MEAN = jnp.array([0.75696, 0.71561, 0.63938])
-KUZUSHIJI_STD = jnp.array([0.19681, 0.20038, 0.24713])
-IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406])
-IMAGENET_STD = jnp.array([0.229, 0.224, 0.225])
+# Kuzushiji dataset channel stats (reference src/configs/preprocessing.yaml:18-20).
+# Host (numpy) constants on purpose: a module-level jnp.array initializes the
+# JAX backend at import time, which hangs every CPU-side tool (synth, ETL,
+# dataset viewers) whenever the TPU tunnel is unreachable.
+KUZUSHIJI_MEAN = np.array([0.75696, 0.71561, 0.63938], np.float32)
+KUZUSHIJI_STD = np.array([0.19681, 0.20038, 0.24713], np.float32)
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)

@@ -406,6 +406,7 @@ def train_stage(root: Path, stage: str, **overrides) -> dict:
                 # explicit: the YOLO SGD auto-rule stalls from-scratch
                 # transformers (v2/v3 plateaued at val CER ~0.9)
                 optimizer="adamw", lr0=3e-4, warmup_epochs=1.0,
+                resume=bool(overrides.get("rec_resume", 0)),
                 project=str(root / "runs"), name="rec", exist_ok=True,
                 workers=2, **kw,
             )
