@@ -84,11 +84,26 @@ def main(argv: list[str] | None = None) -> int:
         )
     elif isinstance(result, list):
         for i, r in enumerate(result):
-            boxes = getattr(r, "boxes", None)
-            n = len(boxes) if boxes is not None else 0
-            ids = getattr(boxes, "id", None) if boxes is not None else None
-            tag = f" ids={ids.tolist()}" if ids is not None and len(ids) else ""
-            print(f"[{i}] {getattr(r, 'path', '')}: {n} boxes{tag}")
+            if isinstance(r, str):  # recognize/lm: predicted text
+                print(f"[{i}] {r}")
+            elif isinstance(r, dict):  # classify: {name, conf, ...}
+                print(
+                    f"[{i}] "
+                    + " ".join(
+                        f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
+                        for k, v in r.items()
+                    )
+                )
+            else:
+                boxes = getattr(r, "boxes", None)
+                n = len(boxes) if boxes is not None else 0
+                ids = getattr(boxes, "id", None) if boxes is not None else None
+                tag = (
+                    f" ids={ids.tolist()}"
+                    if ids is not None and len(ids)
+                    else ""
+                )
+                print(f"[{i}] {getattr(r, 'path', '')}: {n} boxes{tag}")
     return 0
 
 

@@ -117,6 +117,43 @@ class CheckpointManager:
         return self._step_dir(name).exists()
 
 
+def load_inference_params(
+    mgr: CheckpointManager,
+    like: Any,
+    train_cfg: Any = None,
+    name: str | None = None,
+) -> tuple[Any, Any]:
+    """Restore (params, model_state) for inference, EMA-preferred.
+
+    LoRA-aware: a run trained with ``lora_rank`` stores a combined
+    ``{"base", "lora"}`` param tree and a multi_transform opt_state that a
+    typed ``like`` built from the plain optimizer cannot express — such
+    checkpoints are raw-restored and the adapters fused into plain params
+    (``kuzu/core/lora.py::maybe_merge``), so every predictor/validator sees
+    the same tree shape as full fine-tuning. ``train_cfg`` should be the
+    run's ``args.yaml`` (supplies ``lora_rank``/``lora_alpha``).
+    """
+    import jax.numpy as jnp
+
+    from kuzu.core import lora as lora_lib
+
+    if name is None:
+        name = "best" if mgr.exists("best") else "last"
+    cfg = train_cfg if train_cfg is not None else {}
+    lora_run = bool(int(cfg.get("lora_rank", 0) or 0)) if hasattr(cfg, "get") else False
+    if lora_run:
+        raw = mgr.restore(name)
+        src = raw.get("ema_params") or raw.get("params")
+        params = jax.tree.map(jnp.asarray, lora_lib.maybe_merge(src, cfg))
+        ms = raw.get("model_state") or None
+        if ms is not None:
+            ms = jax.tree.map(jnp.asarray, ms)
+        return params, ms
+    state = mgr.restore(name, like=like)
+    p = state.ema_params if state.ema_params is not None else state.params
+    return p, state.model_state
+
+
 def _norm_path(path) -> tuple:
     """Key-type-agnostic path: dataclass attrs, dict keys and sequence
     indices all normalize to their string names."""

@@ -132,6 +132,29 @@ class BaseTrainer:
     def preprocess_batch(self, batch: dict) -> dict:
         return batch
 
+    def _val_view(self, state: TrainState) -> TrainState:
+        """Plain-param view of the train state for validators: with LoRA
+        active, fuses adapters into the base so subclass ``validate`` sees
+        the same tree shape as full fine-tuning."""
+        alpha = getattr(self, "_lora_alpha", 0.0)
+        if not alpha:
+            return state
+        from kuzu.core import lora as lora_lib
+
+        fuse = getattr(self, "_lora_fuse", None)
+        if fuse is None:
+            # one jitted fuse per trainer — re-wrapping every epoch would
+            # retrace (fresh function identity each call)
+            fuse = self._lora_fuse = jax.jit(
+                lambda t: lora_lib.merge_lora(t["base"], t["lora"], alpha)
+            )
+        return state.replace(
+            params=fuse(state.params),
+            ema_params=None
+            if state.ema_params is None
+            else fuse(state.ema_params),
+        )
+
     def _device_prefetch(self, loader: Any, depth: int = 2):
         """1-deep (default) device double-buffering: batch N+1 is device_put
         (async) while the jitted step for batch N runs, so host->device
@@ -165,6 +188,34 @@ class BaseTrainer:
         params = self.build_model()
 
         tx = build_optimizer(cfg, steps_per_epoch)
+        # PEFT: lora_rank>0 freezes the base model and trains low-rank
+        # adapters (reference VLM recipe scripts/qwen3_vl_cft_sft.py, here
+        # as a generic parameter transform — see kuzu/core/lora.py)
+        lora_rank = int(cfg.get("lora_rank", 0) or 0)
+        self._lora_alpha = 0.0
+        if lora_rank:
+            import optax
+
+            from kuzu.core import lora as lora_lib
+
+            self._lora_alpha = lora_lib.resolve_alpha(cfg, lora_rank)
+            adapters = lora_lib.init_lora(
+                jax.random.key(int(cfg.get("seed", 0)) + 7),
+                params,
+                lora_rank,
+                targets=cfg.get("lora_targets"),
+            )
+            params = lora_lib.combine(params, adapters)
+            tx = optax.multi_transform(
+                {"train": tx, "freeze": optax.set_to_zero()},
+                lora_lib.label_tree(params),
+            )
+            n_tr, n_tot = lora_lib.trainable_count(params)
+            LOGGER.info(
+                f"lora: rank {lora_rank} alpha {self._lora_alpha:g} — "
+                f"{n_tr / 1e6:.3f}M trainable / {n_tot / 1e6:.2f}M total "
+                f"({len(adapters)} kernels)"
+            )
         use_ema = bool(cfg.get("ema", True))
         model_state = (
             self._init_model_state() if hasattr(self, "_init_model_state") else None
@@ -186,8 +237,30 @@ class BaseTrainer:
             self.state = jax.device_put(self.state, state_sharding)
             LOGGER.info(f"tensor parallel: preset '{cfg.get('tp_rules')}' over "
                         f"model axis {dict(self.mesh.shape)['model']}")
+        loss_fn = self.loss_fn
+        if lora_rank:
+            from kuzu.core import lora as lora_lib
+
+            inner_loss, alpha = self.loss_fn, self._lora_alpha
+
+            def _merged(p):
+                # stop_gradient on the base prunes its whole backward cone
+                return lora_lib.merge_lora(
+                    jax.lax.stop_gradient(p["base"]), p["lora"], alpha
+                )
+
+            if model_state is not None:
+
+                def loss_fn(p, ms, batch, rng):
+                    return inner_loss(_merged(p), ms, batch, rng)
+
+            else:
+
+                def loss_fn(p, batch, rng):
+                    return inner_loss(_merged(p), batch, rng)
+
         self._step = make_train_step(
-            self.loss_fn,
+            loss_fn,
             tx,
             mesh=self.mesh,
             ema_decay=float(cfg.get("ema_decay", 0.9999)),
@@ -237,7 +310,11 @@ class BaseTrainer:
             train_metrics = {k: v / max(n_steps, 1) for k, v in agg.items()}
 
             self.callbacks.run("on_val_start", self)
-            val_metrics = self.validate(self.state) if cfg.get("val", True) else {}
+            val_metrics = (
+                self.validate(self._val_view(self.state))
+                if cfg.get("val", True)
+                else {}
+            )
             self.callbacks.run("on_val_end", self, val_metrics)
             fitness = float(
                 val_metrics.get("fitness", -train_metrics.get("loss", 0.0))

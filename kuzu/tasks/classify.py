@@ -174,22 +174,56 @@ class ClassifyValidator:
         self.cfg = cfg
 
     def run(self) -> dict:
-        trainer = ClassifyTrainer(self.cfg)
+        cfg = self.cfg
+        ckpt = cfg.get("model")
+        wdir = None
+        if ckpt and Path(str(ckpt)).exists():
+            # accept the run dir or its weights/ dir; adopt the run's
+            # args.yaml (arch, imgsz, lora_rank...) like DetectValidator so
+            # the rebuilt model matches the checkpoint
+            run_dir = Path(str(ckpt))
+            if (run_dir / "weights").exists():
+                wdir = run_dir / "weights"
+            else:
+                wdir, run_dir = run_dir, run_dir.parent
+            args = run_dir / "args.yaml"
+            if args.exists():
+                from kuzu.core.config import load_config
+
+                base = load_config(args)
+                explicit = {
+                    k: cfg[k]
+                    for k in cfg.get("_explicit", [])
+                    if k in cfg and k != "model"
+                }
+                base.merge({**explicit, "mode": "val", "save": False})
+                base.merge(
+                    {"name": f"{base.get('name') or 'run'}-val",
+                     "exist_ok": True}
+                )
+                cfg = base
+        trainer = ClassifyTrainer(cfg)
         trainer.train_loader, trainer.val_loader = trainer.build_datasets()
         params = trainer.build_model()
         from kuzu.core.train import build_optimizer, init_state
 
         state = init_state(
-            params, build_optimizer(self.cfg), use_ema=True,
+            params, build_optimizer(cfg), use_ema=True,
             model_state=trainer._model_state,
         )
-        ckpt_dir = self.cfg.get("model")
-        if ckpt_dir and Path(str(ckpt_dir)).exists():
-            from kuzu.core.checkpoint import CheckpointManager
+        if wdir is not None:
+            from kuzu.core.checkpoint import (
+                CheckpointManager,
+                load_inference_params,
+            )
 
-            mgr = CheckpointManager(Path(str(ckpt_dir)))
-            name = "best" if mgr.exists("best") else "last"
-            state = mgr.restore(name, like=state)
+            mgr = CheckpointManager(wdir)
+            p, ms = load_inference_params(mgr, state, train_cfg=cfg)
+            state = state.replace(
+                params=p,
+                ema_params=None,
+                model_state=ms if ms is not None else state.model_state,
+            )
         return trainer.validate(state)
 
 
@@ -250,11 +284,10 @@ class ClassifyPredictor:
             model_state=model_state,
         )
         mgr = CheckpointManager(run_dir / "weights")
-        state = mgr.restore("best" if mgr.exists("best") else "last", like=state)
-        self.params = (
-            state.ema_params if state.ema_params is not None else state.params
-        )
-        extra = state.model_state or {}
+        from kuzu.core.checkpoint import load_inference_params
+
+        self.params, ms = load_inference_params(mgr, state, train_cfg=train_cfg)
+        extra = ms or {}
         self._fwd = jax.jit(
             lambda p, x: jax.nn.softmax(
                 self.model.apply({"params": p, **extra}, x, train=False), -1

@@ -195,9 +195,10 @@ class CTCPredictor:
             params, build_optimizer(train_cfg), use_ema=True, model_state=model_state
         )
         mgr = CheckpointManager(run_dir / "weights")
-        state = mgr.restore("best" if mgr.exists("best") else "last", like=state)
-        p = state.ema_params if state.ema_params is not None else state.params
-        self.variables = {"params": p, **(state.model_state or {})}
+        from kuzu.core.checkpoint import load_inference_params
+
+        p, ms = load_inference_params(mgr, state, train_cfg=train_cfg)
+        self.variables = {"params": p, **(ms or {})}
 
         def _fwd(variables, images):
             logits, boxes = self.model.apply(variables, images, train=False)

@@ -132,6 +132,16 @@ class DetectTrainer(BaseTrainer):
             mgr = CheckpointManager(Path(pre))
             src = mgr.restore("best" if mgr.exists("best") else "last")
             src_params = src.get("params", src) if isinstance(src, dict) else src.params
+            # a LoRA-trained source stores {"base", "lora"} — fuse before graft
+            from kuzu.core.config import load_config
+            from kuzu.core.lora import is_lora_tree, maybe_merge
+
+            if is_lora_tree(src_params):
+                pre_args = Path(pre).parent / "args.yaml"
+                src_params = maybe_merge(
+                    src_params,
+                    load_config(pre_args) if pre_args.exists() else None,
+                )
             grafted, n, t = partial_load(variables["params"], src_params)
             LOGGER.info(f"pretrained graft: {n}/{t} tensors from {pre}")
             return grafted
@@ -288,9 +298,14 @@ class DetectValidator:
         ckpt = self.cfg.get("model")
         run_dir = Path(str(ckpt)) if ckpt else None
         if run_dir and (run_dir / "weights").exists():
+            from kuzu.core.checkpoint import load_inference_params
+
             mgr = CheckpointManager(run_dir / "weights")
-            state = mgr.restore(
-                "best" if mgr.exists("best") else "last", like=state
+            p, ms = load_inference_params(mgr, state, train_cfg=cfg)
+            state = state.replace(
+                params=p,
+                ema_params=None,
+                model_state=ms if ms is not None else state.model_state,
             )
         return trainer.validate(state)
 
@@ -332,9 +347,10 @@ class DetectPredictor:
             model_state=model_state,
         )
         mgr = CheckpointManager(run_dir / "weights")
-        state = mgr.restore("best" if mgr.exists("best") else "last", like=state)
-        params = state.ema_params if state.ema_params is not None else state.params
-        self.variables = {"params": params, **(state.model_state or {})}
+        from kuzu.core.checkpoint import load_inference_params
+
+        params, ms = load_inference_params(mgr, state, train_cfg=train_cfg)
+        self.variables = {"params": params, **(ms or {})}
         conf = float(self.cfg.get("conf") or 0.25)
         iou_t = float(self.cfg.get("iou", 0.7))
         max_det = int(self.cfg.get("max_det", 300))

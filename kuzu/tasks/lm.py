@@ -219,10 +219,9 @@ class LMPredictor:
         params = self.model.init(jax.random.key(0), tokens)["params"]
         state = init_state(params, build_optimizer(train_cfg), use_ema=True)
         mgr = CheckpointManager(run_dir / "weights")
-        state = mgr.restore("best" if mgr.exists("best") else "last", like=state)
-        self.params = (
-            state.ema_params if state.ema_params is not None else state.params
-        )
+        from kuzu.core.checkpoint import load_inference_params
+
+        self.params, _ = load_inference_params(mgr, state, train_cfg=train_cfg)
         self.ready = True
 
     def __call__(self, source) -> list[str]:

@@ -51,6 +51,12 @@ class RecognizeTrainer(BaseTrainer):
         max_len = int(cfg.get("max_label_length", 128))
 
         tok_path = cfg.get("tokenizer")
+        if not tok_path and cfg.get("pretrained") not in (None, "", True, False):
+            # fine-tuning (full or LoRA) from a previous recognize run: the
+            # token ids must line up with the restored embedding/lm_head
+            pre_tok = Path(str(cfg.pretrained)) / "tokenizer.json"
+            if pre_tok.exists():
+                tok_path = pre_tok
         if not tok_path and cfg.get("decoder_init"):
             # decoder initialization from a pretrained char-LM run implies
             # that run's tokenizer (token ids must line up with the grafted
@@ -126,6 +132,23 @@ class RecognizeTrainer(BaseTrainer):
             jax.random.key(int(cfg.get("seed", 0))), images, tokens
         )
         params = variables["params"]
+        pre = cfg.get("pretrained")
+        if pre not in (None, "", True, False):
+            # full-weight warm start from a previous recognize run — the
+            # base for LoRA fine-tuning (lora_rank=N pretrained=<run>)
+            from kuzu.core.checkpoint import CheckpointManager, partial_load
+            from kuzu.core.lora import maybe_merge
+
+            from kuzu.core.config import load_config
+
+            pre_dir = Path(str(pre))
+            mgr = CheckpointManager(pre_dir / "weights")
+            raw = mgr.restore("best" if mgr.exists("best") else "last")
+            src = raw.get("ema_params") or raw.get("params")
+            pre_args = pre_dir / "args.yaml"
+            pre_cfg = load_config(pre_args if pre_args.exists() else None)
+            params, n, t = partial_load(params, maybe_merge(src, pre_cfg))
+            LOGGER.info(f"pretrained: {n}/{t} tensors from {pre}")
         dec_init = cfg.get("decoder_init")
         if dec_init:
             params = self._graft_decoder(params, Path(str(dec_init)))
@@ -155,10 +178,9 @@ class RecognizeTrainer(BaseTrainer):
         )["params"]
         state = init_state(lm_params, build_optimizer(lm_cfg), use_ema=True)
         mgr = CheckpointManager(lm_run / "weights")
-        state = mgr.restore("best" if mgr.exists("best") else "last", like=state)
-        lm_params = (
-            state.ema_params if state.ema_params is not None else state.params
-        )
+        from kuzu.core.checkpoint import load_inference_params
+
+        lm_params, _ = load_inference_params(mgr, state, train_cfg=lm_cfg)
         lm_emb = np.asarray(lm_params["embed"]["embedding"]).shape
         dec_emb = np.asarray(params["decoder"]["embed"]["embedding"]).shape
         if lm_emb != dec_emb:
@@ -265,12 +287,12 @@ class RecognizePredictor:
         params = self.model.init(jax.random.key(0), images, tokens)["params"]
         mgr = CheckpointManager(run_dir / "weights")
         name = "best" if mgr.exists("best") else "last"
+        from kuzu.core.checkpoint import load_inference_params
         from kuzu.core.train import build_optimizer, init_state
 
         state = init_state(params, build_optimizer(train_cfg), use_ema=True)
-        state = mgr.restore(name, like=state)
-        self.params = (
-            state.ema_params if state.ema_params is not None else state.params
+        self.params, _ = load_inference_params(
+            mgr, state, train_cfg=train_cfg, name=name
         )
         self.ready = True
 

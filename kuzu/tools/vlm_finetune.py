@@ -1,14 +1,19 @@
-"""VLM fine-tuning entry (Qwen-VL LoRA SFT) — dependency-gated.
+"""VLM fine-tuning entry (LoRA SFT on kuzushiji columns).
 
 Capability parity with the reference ``scripts/qwen3_vl_cft_sft.py`` (P34:
 Qwen3-VL-8B 4-bit LoRA SFT on the kuzushiji-column dataset via unsloth/TRL).
-A multi-billion-parameter torch VLM is outside this framework's TPU compute
-path; this module provides the same entry point and dataset plumbing, and
-delegates to unsloth/TRL when those packages are installed (they are not in
-the base image — the function raises a clear, actionable error instead).
+Two backends:
 
-The kuzu-native alternative for column->text is the TrOCR recognize task,
-which trains and serves on the TPU.
+- ``native`` (default on this stack): LoRA-SFT kuzu's own vision
+  encoder-decoder (TrOCR) on the TPU — the base checkpoint freezes and
+  rank-r adapters train via the generic PEFT path (``kuzu/core/lora.py``,
+  ``lora_rank=`` on any trainer). Same recipe shape as the reference
+  (frozen multi-modal base + adapters + SFT records), on-device instead of
+  delegated to a GPU torch stack.
+- ``unsloth``: the reference's exact path, used verbatim when the
+  unsloth/TRL packages exist (they are not in the kuzu TPU image).
+
+``build_sft_records`` is shared: column_info.csv -> chat-format records.
 """
 
 from __future__ import annotations
@@ -46,23 +51,79 @@ def build_sft_records(
 
 def finetune_vlm(
     column_info_csv: str | Path,
-    base_model: str = "Qwen/Qwen3-VL-8B-Instruct",
+    base_model: str | Path | None = None,
     output_dir: str | Path = "runs/vlm_sft",
     lora_rank: int = 16,
     max_steps: int = 1000,
+    backend: str = "auto",
+    **overrides,
 ):
-    """LoRA SFT a vision-language model on kuzushiji columns."""
+    """LoRA SFT a vision-language model on kuzushiji columns.
+
+    ``base_model``: a kuzu recognize run dir (native backend: its weights
+    become the frozen base; omit to adapt from scratch) or an HF model id
+    (unsloth backend). ``backend='auto'`` picks unsloth when installed,
+    else the TPU-native path.
+    """
+    if backend == "auto":
+        try:
+            import unsloth  # noqa: F401
+
+            backend = "unsloth"
+        except ImportError:
+            backend = "native"
+    if backend == "native":
+        return _finetune_native(
+            column_info_csv, base_model, output_dir, lora_rank, max_steps,
+            **overrides,
+        )
+    return _finetune_unsloth(
+        column_info_csv, base_model or "Qwen/Qwen3-VL-8B-Instruct",
+        output_dir, lora_rank, max_steps,
+    )
+
+
+def _finetune_native(
+    column_info_csv, base_model, output_dir, lora_rank, max_steps, **overrides
+):
+    """TPU-native LoRA SFT: frozen TrOCR base + rank-r adapters."""
+    from kuzu.api.model import Model
+
+    out = Path(output_dir)
+    kw = dict(
+        data=str(column_info_csv),
+        lora_rank=int(lora_rank),
+        optimizer="adamw",
+        project=str(out.parent),
+        name=out.name,
+        exist_ok=True,
+    )
+    if base_model:
+        kw["pretrained"] = str(base_model)
+    # max_steps -> epochs against the split size (the trainer's unit)
+    import pandas as pd
+
+    n_train = max(int(len(pd.read_csv(column_info_csv)) * 0.8), 1)
+    batch = int(overrides.get("batch", 16))
+    steps_per_epoch = max(n_train // batch, 1)
+    kw["epochs"] = max(int(max_steps) // steps_per_epoch, 1)
+    kw.update(overrides)
+    model = Model("trocr", task="recognize")
+    result = model.train(**kw)
+    return Path(kw["project"]) / "recognize" / out.name, result
+
+
+def _finetune_unsloth(column_info_csv, base_model, output_dir, lora_rank, max_steps):
+    """Reference path, only where the unsloth/TRL GPU stack exists."""
     try:
-        from unsloth import FastVisionModel  # noqa: F401
-        from trl import SFTTrainer  # noqa: F401
+        from trl import SFTTrainer
+        from unsloth import FastVisionModel
     except ImportError as e:
         raise ImportError(
-            "VLM fine-tuning needs the 'unsloth' and 'trl' packages (GPU torch "
-            "stack), which are not part of the kuzu TPU environment. Install "
-            "them on a GPU host, or use the TPU-native recognizer instead: "
-            "`python -m kuzu.api.cli train recognize data=<column_info.csv>`."
+            "backend='unsloth' needs the 'unsloth' and 'trl' packages (GPU "
+            "torch stack), which are not part of the kuzu TPU environment. "
+            "Use backend='native' for the on-device LoRA SFT path."
         ) from e
-    # (executed only where unsloth/trl exist)
     records = build_sft_records(column_info_csv)
     model, tokenizer = FastVisionModel.from_pretrained(
         base_model, load_in_4bit=True

@@ -65,8 +65,10 @@ def test_vlm_finetune_gated(tmp_path):
     ).to_csv(csv, index=False)
     recs = build_sft_records(csv)
     assert recs[0]["messages"][1]["content"] == "あい"
-    with pytest.raises(ImportError, match="recognize"):
-        finetune_vlm(csv)
+    # the reference's unsloth/TRL path stays gated in this image; the
+    # native LoRA path is exercised end-to-end in tests/test_lora.py
+    with pytest.raises(ImportError, match="native"):
+        finetune_vlm(csv, backend="unsloth")
 
 
 def test_autobackend_run_dir_detection(tmp_path):
