@@ -77,7 +77,7 @@ class AutoBackend:
         if self.kind == "run_dir":
             import jax.numpy as jnp
 
-            out = self._predictor._fwd(jnp.asarray(images))
+            out = self._predictor._fwd(np.asarray(images))
             return {k: np.asarray(v) for k, v in out.items()}
         if self.kind == "onnx":
             name = self._sess.get_inputs()[0].name

@@ -64,6 +64,58 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+class DataParallel:
+    """Data-parallel inference placement over a 1-axis ``data`` mesh.
+
+    ``dp=N`` on any predictor (or the cascade) shards every host-facing
+    batch's leading axis over N devices and replicates the weights once at
+    setup; the existing jitted programs then compile GSPMD-partitioned —
+    the scaling-book recipe (annotate input shardings, let XLA insert the
+    collectives), applied to serving. The reference has no inference
+    parallelism at all (single-GPU ``scripts/inference.py``); the SURVEY
+    north star (pages/s on a v5e-8) makes this first-class here.
+
+    Batch-dim partitioning does not change per-example math, so dp=N
+    results are identical to single-device (pinned by
+    ``tests/test_dp_inference.py``). Host batches must pad to a multiple
+    of N: ``min_bucket`` feeds ``next_bucket`` so buckets are dp * 2^k.
+    """
+
+    def __init__(self, n: int = -1):
+        self.mesh = make_mesh(data=n, model=1)
+        self.n = dict(self.mesh.shape)["data"]
+
+    def batch(self, x):
+        """Shard an array (or pytree) along its leading axis."""
+        return jax.tree.map(
+            lambda a: jax.device_put(a, batch_sharding(self.mesh)), x
+        )
+
+    def params(self, tree):
+        """Replicate weights across the mesh."""
+        return jax.tree.map(
+            lambda a: jax.device_put(a, replicated(self.mesh)), tree
+        )
+
+
+def setup_inference_dp(predictor, cfg) -> None:
+    """Wire ``dp=<n>`` from a predictor config: sets ``predictor._put``
+    (host batch placer), ``predictor.min_bucket`` (bucket floor so shards
+    divide evenly) and replaces nothing when dp is unset (``_put`` is then
+    a plain ``jnp.asarray``)."""
+    import jax.numpy as jnp
+
+    dp = int(cfg.get("dp", 0) or 0) if hasattr(cfg, "get") else 0
+    if dp:
+        predictor._dp = DataParallel(dp)
+        predictor._put = predictor._dp.batch
+        predictor.min_bucket = predictor._dp.n
+    else:
+        predictor._dp = None
+        predictor._put = jnp.asarray
+        predictor.min_bucket = 1
+
+
 # Megatron-style tensor-parallel presets over the 'model' mesh axis:
 # attention q/k/v and MLP fc1 column-parallel (shard the output dim), the
 # output/fc2 projections row-parallel (shard the input dim), lm_head

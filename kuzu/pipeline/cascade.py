@@ -46,9 +46,12 @@ class KuzushijiPipeline:
         num_beams: int = 4,
         max_det: int = 300,  # production char detection: 2000
         lm_weight: float = 0.3,  # beam_lm: score = beam + lm_weight * PLL
+        dp: int = 0,  # data-parallel serving: shard every stage's batch
+        # over a dp-device mesh (v5e-8 north star; core/mesh.py DataParallel)
     ):
         from kuzu.core.config import load_config
 
+        self.dp = int(dp or 0)
         self.tile_grid = tile_grid
         self.tile_overlap = tile_overlap
         self.margin = margin
@@ -64,7 +67,12 @@ class KuzushijiPipeline:
             from kuzu.tasks.detect import DetectPredictor
 
             self.column_det = DetectPredictor(
-                load_config(overrides={"model": str(column_model), "conf": conf})
+                load_config(
+                    overrides={
+                        "model": str(column_model), "conf": conf,
+                        "dp": self.dp,
+                    }
+                )
             )
         if char_model:
             from kuzu.tasks.detect import DetectPredictor
@@ -73,7 +81,7 @@ class KuzushijiPipeline:
                 load_config(
                     overrides={
                         "model": str(char_model), "conf": conf,
-                        "max_det": max_det,
+                        "max_det": max_det, "dp": self.dp,
                     }
                 )
             )
@@ -81,12 +89,14 @@ class KuzushijiPipeline:
             from kuzu.tasks.recognize import RecognizePredictor
 
             self.recognizer = RecognizePredictor(
-                load_config(overrides={"model": str(recognizer)})
+                load_config(overrides={"model": str(recognizer), "dp": self.dp})
             )
         if lm:
             from kuzu.tasks.lm import LMPredictor
 
-            self.lm = LMPredictor(load_config(overrides={"model": str(lm)}))
+            self.lm = LMPredictor(
+                load_config(overrides={"model": str(lm), "dp": self.dp})
+            )
 
     # ------------------------------------------------------------ stages
     def detect_columns(self, image_path: str | Path) -> dict[str, np.ndarray]:
@@ -116,7 +126,13 @@ class KuzushijiPipeline:
             img, grid=self.tile_grid, overlap=self.tile_overlap,
             tile_size=predictor.imgsz,
         )
-        out = predictor._fwd(jnp.asarray(tiles))
+        stack = np.asarray(tiles)
+        # tile count is fixed per (grid, aspect) so no bucketing needed —
+        # but dp shards the batch dim, which must divide the mesh
+        pad = (-len(stack)) % predictor.min_bucket
+        if pad:
+            stack = np.concatenate([stack, np.zeros_like(stack[:1]).repeat(pad, 0)])
+        out = predictor._fwd(stack)
         out = {k: np.asarray(v) for k, v in out.items()}
         per_tile = [
             {k: out[k][i] for k in ("boxes", "scores", "classes", "valid")}
@@ -185,8 +201,9 @@ class KuzushijiPipeline:
         from kuzu.data.loader import next_bucket
 
         n = len(tiles)
-        tiles.extend([np.zeros_like(tiles[0])] * (next_bucket(n) - n))
-        out = self.char_det._fwd(jnp.asarray(np.stack(tiles)))
+        nb = next_bucket(n, min_bucket=max(8, self.char_det.min_bucket))
+        tiles.extend([np.zeros_like(tiles[0])] * (nb - n))
+        out = self.char_det._fwd(np.stack(tiles))
         out = {k: np.asarray(v) for k, v in out.items()}
         per_col = []
         for i, ((xa, ya, gain, px, py), (_, _, xb, yb)) in enumerate(
@@ -225,8 +242,9 @@ class KuzushijiPipeline:
         from kuzu.data.loader import next_bucket
 
         n = len(batch)
-        batch.extend([np.zeros_like(batch[0])] * (next_bucket(n) - n))
-        images = jnp.asarray(np.stack(batch))
+        nb = next_bucket(n, min_bucket=max(8, self.recognizer.min_bucket))
+        batch.extend([np.zeros_like(batch[0])] * (nb - n))
+        images = self.recognizer._put(np.stack(batch))
         tok = self.recognizer.tokenizer
         if self.decode == "beam_lm":
             # n-best reranking: beam candidates rescored by the char-LM's
@@ -334,16 +352,19 @@ class KuzushijiPipeline:
 
             fn = self._rescore_fn = jax.jit(_pll)
 
-        # pad text count to a static bucket (8/16/32/...) for shape reuse
+        # pad text count to a static bucket (8/16/32/..., dp-divisible) for
+        # shape reuse
+        from kuzu.data.loader import next_bucket
+
         t = len(texts)
-        tp = 8
-        while tp < t:
-            tp *= 2
+        tp = next_bucket(t, min_bucket=max(8, self.lm.min_bucket))
         ids_p = np.zeros((tp, max_len), ids.dtype)
         ids_p[:t] = ids
         lens_p = np.zeros((tp,), np.int32)
         lens_p[:t] = lens
-        scores = np.asarray(fn(self.lm.params, jnp.asarray(ids_p), jnp.asarray(lens_p)))
+        scores = np.asarray(
+            fn(self.lm.params, self.lm._put(ids_p), self.lm._put(lens_p))
+        )
         return [float(scores[i]) if lens[i] > 2 else 0.0 for i in range(t)]
 
     # --------------------------------------------------------------- e2e
@@ -488,10 +509,12 @@ class KuzushijiPipeline:
                 tiles_all.extend(tiles)
                 metas_all.extend(metas)
             stack = np.stack(tiles_all)
-            pad = next_bucket(len(stack)) - len(stack)
+            pad = next_bucket(
+                len(stack), min_bucket=max(8, self.char_det.min_bucket)
+            ) - len(stack)
             if pad:
                 stack = np.concatenate([stack, np.zeros_like(stack[:pad])])
-            out = self.char_det._fwd(jnp.asarray(stack))
+            out = self.char_det._fwd(stack)
             out = {k: np.asarray(v) for k, v in out.items()}
             char_pages = []
             for img, (lo, hi) in zip(images, spans):

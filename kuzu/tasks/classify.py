@@ -287,10 +287,16 @@ class ClassifyPredictor:
         from kuzu.core.checkpoint import load_inference_params
 
         self.params, ms = load_inference_params(mgr, state, train_cfg=train_cfg)
-        extra = ms or {}
+        # weights/stats as jit ARGUMENTS (closures bake into the HLO)
+        self.variables = {"params": self.params, **(ms or {})}
+        from kuzu.core.mesh import setup_inference_dp
+
+        setup_inference_dp(self, self.cfg)
+        if self._dp is not None:
+            self.variables = self._dp.params(self.variables)
         self._fwd = jax.jit(
-            lambda p, x: jax.nn.softmax(
-                self.model.apply({"params": p, **extra}, x, train=False), -1
+            lambda v, x: jax.nn.softmax(
+                self.model.apply(v, x, train=False), -1
             )
         )
         self.ready = True
@@ -309,7 +315,14 @@ class ClassifyPredictor:
             if self.channels == 1:
                 arr = arr[..., None]
             imgs.append(arr)
-        probs = np.asarray(self._fwd(self.params, jnp.asarray(np.stack(imgs))))
+        from kuzu.data.loader import next_bucket
+
+        n = len(imgs)
+        npad = next_bucket(n, min_bucket=self.min_bucket)
+        imgs.extend([np.zeros_like(imgs[0])] * (npad - n))
+        probs = np.asarray(
+            self._fwd(self.variables, self._put(np.stack(imgs)))
+        )[:n]
         out = []
         for p, pr in zip(paths, probs):
             top = int(pr.argmax())

@@ -199,6 +199,11 @@ class CTCPredictor:
 
         p, ms = load_inference_params(mgr, state, train_cfg=train_cfg)
         self.variables = {"params": p, **(ms or {})}
+        from kuzu.core.mesh import setup_inference_dp
+
+        setup_inference_dp(self, self.cfg)
+        if self._dp is not None:
+            self.variables = self._dp.params(self.variables)
 
         def _fwd(variables, images):
             logits, boxes = self.model.apply(variables, images, train=False)
@@ -215,9 +220,17 @@ class CTCPredictor:
 
         paths = [source] if isinstance(source, (str, _P)) else list(source)
         images = np.stack([load_letterboxed(p, *self.image_size) for p in paths])
-        (seqs, lens), _ = self._fwd(self.variables, jnp.asarray(images))
-        seqs, lens = np.asarray(seqs), np.asarray(lens)
-        return [self.tokenizer.decode(s[:n]) for s, n in zip(seqs, lens)]
+        from kuzu.data.loader import next_bucket
+
+        n = len(images)
+        npad = next_bucket(n, min_bucket=self.min_bucket)
+        if npad > n:
+            images = np.concatenate(
+                [images, np.zeros_like(images[:1]).repeat(npad - n, 0)]
+            )
+        (seqs, lens), _ = self._fwd(self.variables, self._put(images))
+        seqs, lens = np.asarray(seqs)[:n], np.asarray(lens)[:n]
+        return [self.tokenizer.decode(s[:m]) for s, m in zip(seqs, lens)]
 
 
 register_task("ctc", trainer=CTCTrainer, predictor=CTCPredictor)

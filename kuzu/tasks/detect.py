@@ -348,9 +348,14 @@ class DetectPredictor:
         )
         mgr = CheckpointManager(run_dir / "weights")
         from kuzu.core.checkpoint import load_inference_params
+        from kuzu.core.mesh import setup_inference_dp
 
         params, ms = load_inference_params(mgr, state, train_cfg=train_cfg)
         self.variables = {"params": params, **(ms or {})}
+        # dp=N: shard host batches over an N-device mesh, replicate weights
+        setup_inference_dp(self, self.cfg)
+        if self._dp is not None:
+            self.variables = self._dp.params(self.variables)
         conf = float(self.cfg.get("conf") or 0.25)
         iou_t = float(self.cfg.get("iou", 0.7))
         max_det = int(self.cfg.get("max_det", 300))
@@ -368,7 +373,9 @@ class DetectPredictor:
             )
 
         self._fwd_jit = jax.jit(_fwd)
-        self._fwd = lambda images: self._fwd_jit(self.variables, images)
+        self._fwd = lambda images: self._fwd_jit(
+            self.variables, self._put(images)
+        )
         self.ready = True
 
     def _resolve_arch(self, name: str, data_spec: dict):
@@ -409,12 +416,12 @@ class DetectPredictor:
         # calls with varying counts reuse the compiled program
         from kuzu.data.loader import next_bucket
 
-        npad = next_bucket(len(images), min_bucket=1)
+        npad = next_bucket(len(images), min_bucket=self.min_bucket)
         images.extend([np.zeros_like(images[0])] * (npad - len(images)))
         import time as _time
 
         t0 = _time.perf_counter()
-        out = self._fwd(jnp.asarray(np.stack(images)))
+        out = self._fwd(np.stack(images))
         out = {k: np.asarray(v) for k, v in out.items()}
         infer_ms = (_time.perf_counter() - t0) * 1e3 / len(frames)
         from kuzu.api.results import Boxes, Results

@@ -222,6 +222,11 @@ class LMPredictor:
         from kuzu.core.checkpoint import load_inference_params
 
         self.params, _ = load_inference_params(mgr, state, train_cfg=train_cfg)
+        from kuzu.core.mesh import setup_inference_dp
+
+        setup_inference_dp(self, self.cfg)
+        if self._dp is not None:
+            self.params = self._dp.params(self.params)
         self.ready = True
 
     def __call__(self, source) -> list[str]:

@@ -215,7 +215,7 @@ class OBBPredictor(DetectPredictor):
             return decode_rotated(self.detector, outputs, conf, iou_t, max_det)
 
         self._fwd_jit = jax.jit(_fwd)
-        self._fwd = lambda images: self._fwd_jit(self.variables, images)
+        self._fwd = lambda images: self._fwd_jit(self.variables, self._put(images))
 
     def _predict_frames(self, frames: list) -> list:
         from kuzu.api.results import Boxes, Results
@@ -229,9 +229,9 @@ class OBBPredictor(DetectPredictor):
             meta.append((h, w, gain, px, py))
         from kuzu.data.loader import next_bucket
 
-        npad = next_bucket(len(images), min_bucket=1)
+        npad = next_bucket(len(images), min_bucket=self.min_bucket)
         images.extend([np.zeros_like(images[0])] * (npad - len(images)))
-        out = self._fwd(jnp.asarray(np.stack(images)))
+        out = self._fwd(np.stack(images))
         out = {k: np.asarray(v) for k, v in out.items()}
         names = getattr(self, "names", {})
         results = []

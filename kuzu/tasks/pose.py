@@ -277,7 +277,7 @@ class PosePredictor(DetectPredictor):
             return out
 
         self._fwd_jit = jax.jit(_fwd)
-        self._fwd = lambda images: self._fwd_jit(self.variables, images)
+        self._fwd = lambda images: self._fwd_jit(self.variables, self._put(images))
 
     def _attach_extras(self, result, out, i, valid, orig_shape, gain, pad) -> None:
         kp = np.asarray(out["kpts"][i][valid]).copy()

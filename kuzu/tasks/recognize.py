@@ -294,19 +294,31 @@ class RecognizePredictor:
         self.params, _ = load_inference_params(
             mgr, state, train_cfg=train_cfg, name=name
         )
+        from kuzu.core.mesh import setup_inference_dp
+
+        setup_inference_dp(self, self.cfg)
+        if self._dp is not None:
+            self.params = self._dp.params(self.params)
         self.ready = True
 
     def __call__(self, source) -> list[str]:
         if not self.ready:
             self._setup()
+        from kuzu.data.loader import next_bucket
         from kuzu.data.ocr_datasets import load_letterboxed
 
         paths = [source] if isinstance(source, (str, Path)) else list(source)
         images = np.stack([load_letterboxed(p, *self.image_size) for p in paths])
+        # pad to a static bucket (dp-divisible) so repeat calls with varying
+        # counts reuse the compiled program
+        n = len(images)
+        npad = next_bucket(n, min_bucket=self.min_bucket)
+        if npad > n:
+            images = np.concatenate([images, np.zeros_like(images[:1]).repeat(npad - n, 0)])
         out = generate(
             self.model,
             self.params,
-            jnp.asarray(images),
+            self._put(images),
             max_len=self.model.max_len,
             bos_id=self.tokenizer.bos_id,
             eos_id=self.tokenizer.eos_id,
@@ -314,7 +326,7 @@ class RecognizePredictor:
             num_beams=int(self.cfg.get("num_beams", 4)),
             length_penalty=float(self.cfg.get("length_penalty", 1.0)),
         )
-        return self.tokenizer.batch_decode(np.asarray(out))
+        return self.tokenizer.batch_decode(np.asarray(out)[:n])
 
 
 class RecognizeValidator:

@@ -134,7 +134,7 @@ class SegmentPredictor(DetectPredictor):
             return out
 
         self._fwd_jit = jax.jit(_fwd)
-        self._fwd = lambda images: self._fwd_jit(self.variables, images)
+        self._fwd = lambda images: self._fwd_jit(self.variables, self._put(images))
 
     def _attach_extras(self, result, out, i, valid, orig_shape, gain, pad) -> None:
         from kuzu.api.results import Masks
