@@ -29,16 +29,11 @@ examples:
 
 
 def main(argv: list[str] | None = None) -> int:
-    import os
     from kuzu.core.cache import enable_compilation_cache
+    from kuzu.core.mesh import force_cpu_if_requested
 
     enable_compilation_cache()
-
-    if os.environ.get("KUZU_FORCE_CPU"):
-        # some site configs pin JAX_PLATFORMS; the config update always wins
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
+    force_cpu_if_requested()
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help", "help"):
         print(HELP)

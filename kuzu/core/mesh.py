@@ -65,25 +65,32 @@ def shard_batch(batch, mesh: Mesh):
 
 
 class DataParallel:
-    """Data-parallel inference placement over a 1-axis ``data`` mesh.
+    """Inference placement over a ``(data, model)`` mesh.
 
     ``dp=N`` on any predictor (or the cascade) shards every host-facing
     batch's leading axis over N devices and replicates the weights once at
     setup; the existing jitted programs then compile GSPMD-partitioned —
     the scaling-book recipe (annotate input shardings, let XLA insert the
-    collectives), applied to serving. The reference has no inference
-    parallelism at all (single-GPU ``scripts/inference.py``); the SURVEY
-    north star (pages/s on a v5e-8) makes this first-class here.
+    collectives), applied to serving. ``tp=M`` additionally shards the
+    weights themselves over the ``model`` axis using the same path rules
+    as tensor-parallel training (``TP_PRESETS``) — serving a recognizer/LM
+    too large for one chip's HBM is the same config knob as training it.
+    The reference has no inference parallelism at all (single-GPU
+    ``scripts/inference.py``); the SURVEY north star (pages/s on a v5e-8)
+    makes this first-class here.
 
-    Batch-dim partitioning does not change per-example math, so dp=N
-    results are identical to single-device (pinned by
-    ``tests/test_dp_inference.py``). Host batches must pad to a multiple
-    of N: ``min_bucket`` feeds ``next_bucket`` so buckets are dp * 2^k.
+    Neither axis changes per-example math, so dp/tp results are identical
+    to single-device (pinned by ``tests/test_dp_inference.py``). Host
+    batches must pad to a multiple of the data-axis size: ``min_bucket``
+    feeds ``next_bucket`` so buckets are dp * 2^k.
     """
 
-    def __init__(self, n: int = -1):
-        self.mesh = make_mesh(data=n, model=1)
+    def __init__(self, n: int = -1, tp: int = 1, tp_rules: str = "transformer"):
+        self.mesh = make_mesh(data=n, model=max(tp, 1))
         self.n = dict(self.mesh.shape)["data"]
+        self._rule = (
+            param_spec_rules(TP_PRESETS[tp_rules]) if tp > 1 else None
+        )
 
     def batch(self, x):
         """Shard an array (or pytree) along its leading axis."""
@@ -92,22 +99,36 @@ class DataParallel:
         )
 
     def params(self, tree):
-        """Replicate weights across the mesh."""
-        return jax.tree.map(
-            lambda a: jax.device_put(a, replicated(self.mesh)), tree
+        """Place weights: replicated, or TP-sharded by path rules."""
+        if self._rule is None:
+            return jax.tree.map(
+                lambda a: jax.device_put(a, replicated(self.mesh)), tree
+            )
+        import jax as _jax
+
+        return _jax.tree_util.tree_map_with_path(
+            lambda path, leaf: jax.device_put(
+                leaf, NamedSharding(self.mesh, self._rule(path, leaf))
+            ),
+            tree,
         )
 
 
 def setup_inference_dp(predictor, cfg) -> None:
-    """Wire ``dp=<n>`` from a predictor config: sets ``predictor._put``
-    (host batch placer), ``predictor.min_bucket`` (bucket floor so shards
-    divide evenly) and replaces nothing when dp is unset (``_put`` is then
-    a plain ``jnp.asarray``)."""
+    """Wire ``dp=<n>`` / ``tp=<m>`` from a predictor config: sets
+    ``predictor._put`` (host batch placer), ``predictor.min_bucket``
+    (bucket floor so shards divide evenly) and replaces nothing when both
+    are unset (``_put`` is then a plain ``jnp.asarray``)."""
     import jax.numpy as jnp
 
-    dp = int(cfg.get("dp", 0) or 0) if hasattr(cfg, "get") else 0
-    if dp:
-        predictor._dp = DataParallel(dp)
+    has = hasattr(cfg, "get")
+    dp = int(cfg.get("dp", 0) or 0) if has else 0
+    tp = int(cfg.get("tp", 0) or 0) if has else 0
+    if dp or tp:
+        predictor._dp = DataParallel(
+            max(dp, 1), tp=max(tp, 1),
+            tp_rules=str(cfg.get("tp_rules") or "transformer"),
+        )
         predictor._put = predictor._dp.batch
         predictor.min_bucket = predictor._dp.n
     else:
@@ -186,6 +207,16 @@ def state_shardings(state, mesh: Mesh, rule_fn=None):
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(leaf_sharding, state)
+
+
+def force_cpu_if_requested() -> None:
+    """Entrypoint bootstrap: honor ``KUZU_FORCE_CPU=1``.
+
+    Some site configs pin ``JAX_PLATFORMS`` to the accelerator plugin (the
+    env var is then ignored); ``jax.config.update`` always wins. Must run
+    before first backend use."""
+    if os.environ.get("KUZU_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
 
 
 def process_is_primary() -> bool:

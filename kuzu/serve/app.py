@@ -36,8 +36,10 @@ iou <input name=iou value=0.45 size=4>
 <div class=r>%s</div></body></html>"""
 
 
-def get_predictor(run_dir: str, conf: float, iou: float, max_det: int):
-    key = (run_dir, conf, iou, max_det)
+def get_predictor(
+    run_dir: str, conf: float, iou: float, max_det: int, dp: int = 0
+):
+    key = (run_dir, conf, iou, max_det, dp)
     with _model_lock:
         if key not in _model_cache:
             from kuzu.core.config import load_config
@@ -50,6 +52,7 @@ def get_predictor(run_dir: str, conf: float, iou: float, max_det: int):
                         "conf": conf,
                         "iou": iou,
                         "max_det": max_det,
+                        "dp": dp,
                     }
                 )
             )
@@ -99,6 +102,7 @@ def _parse_multipart(body: bytes, content_type: str) -> dict[str, bytes]:
 
 class KuzuHandler(BaseHTTPRequestHandler):
     run_dir: str = ""
+    dp: int = 0  # data-parallel serving mesh size (0 = single device)
 
     def log_message(self, fmt, *args):  # quiet
         pass
@@ -181,7 +185,9 @@ class KuzuHandler(BaseHTTPRequestHandler):
             cv2.imwrite(f.name, arr)
             tmp = f.name
         try:
-            predictor = get_predictor(self.run_dir, conf, iou, max_det)
+            predictor = get_predictor(
+                self.run_dir, conf, iou, max_det, dp=self.dp
+            )
             r = predictor([tmp])[0]
         finally:
             Path(tmp).unlink(missing_ok=True)
@@ -198,8 +204,10 @@ class KuzuHandler(BaseHTTPRequestHandler):
         }
 
 
-def make_server(run_dir: str, host: str = "127.0.0.1", port: int = 8000):
-    handler = type("Handler", (KuzuHandler,), {"run_dir": run_dir})
+def make_server(
+    run_dir: str, host: str = "127.0.0.1", port: int = 8000, dp: int = 0
+):
+    handler = type("Handler", (KuzuHandler,), {"run_dir": run_dir, "dp": dp})
     return ThreadingHTTPServer((host, port), handler)
 
 
@@ -207,14 +215,18 @@ def main(argv=None):
     import argparse
 
     from kuzu.core.cache import enable_compilation_cache
+    from kuzu.core.mesh import force_cpu_if_requested
 
     enable_compilation_cache()
+    force_cpu_if_requested()
     ap = argparse.ArgumentParser("kuzu serve")
     ap.add_argument("--model", required=True, help="trained detect run dir")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--dp", type=int, default=0,
+                    help="shard prediction batches over a dp-device mesh")
     args = ap.parse_args(argv)
-    server = make_server(args.model, args.host, args.port)
+    server = make_server(args.model, args.host, args.port, dp=args.dp)
     print(f"kuzu serving {args.model} on http://{args.host}:{args.port}")
     server.serve_forever()
 

@@ -425,7 +425,7 @@ def _jsonable(d):
 # ------------------------------------------------------------------ bench
 
 
-def production_pipeline(root: Path, decode: str = "greedy"):
+def production_pipeline(root: Path, decode: str = "greedy", dp: int = 0):
     from kuzu.pipeline.cascade import KuzushijiPipeline
 
     root = Path(root)
@@ -438,6 +438,7 @@ def production_pipeline(root: Path, decode: str = "greedy"):
         conf=0.25,
         decode=decode,
         max_det=2000,
+        dp=dp,  # multi-chip serving (v5e-8): shard every stage's batch
     )
 
 

@@ -173,6 +173,44 @@ def test_recognize_dp_equals_single(rec_run):
     assert base == dp  # per-example decode; batch sharding changes nothing
 
 
+def test_recognize_tp_and_dpxtp_equal_single(rec_run):
+    """tp=M shards the recognizer's weights over the model axis with the
+    same path rules as TP training; dp=4 x tp=2 composes. Per-example
+    results stay identical to single-device."""
+    import jax
+
+    from kuzu.core.config import load_config
+    from kuzu.tasks.recognize import RecognizePredictor
+
+    root, run_dir = rec_run
+    imgs = [
+        str(p) for p in sorted((root / "val" / "images" / "b").glob("*.png"))
+    ]
+    base = RecognizePredictor(
+        load_config(overrides=dict(model=str(run_dir)))
+    )(imgs)
+
+    tp_pred = RecognizePredictor(
+        load_config(overrides=dict(model=str(run_dir), tp=2))
+    )
+    assert tp_pred(imgs) == base
+    # an attention/MLP kernel is actually sharded over the model axis
+    from jax.sharding import PartitionSpec as P
+
+    flat = jax.tree_util.tree_flatten_with_path(tp_pred.params)[0]
+    sharded = [
+        (p, l) for p, l in flat
+        if getattr(l.sharding, "spec", P()) != P() and l.ndim == 2
+    ]
+    assert sharded, "tp=2 left every kernel replicated"
+
+    dpxtp = RecognizePredictor(
+        load_config(overrides=dict(model=str(run_dir), dp=4, tp=2))
+    )
+    assert dpxtp(imgs) == base
+    assert dpxtp.min_bucket == 4  # data axis only
+
+
 def test_pipeline_lm_rescore_dp(tmp_path_factory):
     """The cascade's jitted LM rescore runs sharded when the pipeline gets
     dp=N (same pseudo-log-likelihoods as single-device)."""
