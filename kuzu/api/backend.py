@@ -75,8 +75,6 @@ class AutoBackend:
     def __call__(self, images: np.ndarray) -> dict[str, np.ndarray]:
         """(B, H, W, 3) float32 [0,1] -> padded detections dict."""
         if self.kind == "run_dir":
-            import jax.numpy as jnp
-
             out = self._predictor._fwd(np.asarray(images))
             return {k: np.asarray(v) for k, v in out.items()}
         if self.kind == "onnx":

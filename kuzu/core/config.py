@@ -143,3 +143,23 @@ def load_config(
             set(overrides) | set(cfg.get("_explicit", []))
         )
     return cfg
+
+
+def rebase_on_run_config(cfg, run_dir, mode: str = "val"):
+    """Adopt a trained run's ``args.yaml`` as the base config, re-applying
+    the caller's explicit overrides on top (minus ``model``) — the rebuilt
+    architecture/imgsz/lora_rank then match the checkpoint. Shared by the
+    standalone validators (Detect/Classify). Returns ``cfg`` unchanged when
+    the run carries no ``args.yaml``."""
+    from pathlib import Path
+
+    args = Path(run_dir) / "args.yaml"
+    if not args.exists():
+        return cfg
+    base = load_config(args)
+    explicit = {
+        k: cfg[k] for k in cfg.get("_explicit", []) if k in cfg and k != "model"
+    }
+    base.merge({**explicit, "mode": mode, "save": False})
+    base.merge({"name": f"{base.get('name') or 'run'}-{mode}", "exist_ok": True})
+    return base

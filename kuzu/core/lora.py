@@ -17,7 +17,7 @@ transformation*, not a model surgery:
 
 Any kuzu trainer gains this via ``lora_rank=<r>`` in the config
 (``BaseTrainer`` wires it generically); ``lora_alpha`` (default ``2*rank``)
-and ``lora_targets`` (regex over ``/``-joined param paths, default: every
+and ``lora_targets`` (regex over ``.``-joined param paths, default: every
 2-D ``kernel``) tune the usual knobs. Checkpoints store the combined
 ``{"base", "lora"}`` tree, so resume just works; predictors call
 ``maybe_merge`` to fuse adapters at load time.

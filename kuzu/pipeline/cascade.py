@@ -30,6 +30,14 @@ def sort_columns_right_to_left(boxes: np.ndarray) -> np.ndarray:
     return np.argsort(-(boxes[:, 0] + boxes[:, 2]) / 2)
 
 
+def _bucket_floor(predictor, base: int = 8) -> int:
+    """Smallest multiple of the predictor's mesh size >= ``base`` — bucket
+    sizes (floor * 2^k) then stay divisible by the data axis even when the
+    mesh size does not divide ``base`` (e.g. dp=6)."""
+    m = max(1, getattr(predictor, "min_bucket", 1))
+    return m * -(-base // m)
+
+
 class KuzushijiPipeline:
     def __init__(
         self,
@@ -201,7 +209,7 @@ class KuzushijiPipeline:
         from kuzu.data.loader import next_bucket
 
         n = len(tiles)
-        nb = next_bucket(n, min_bucket=max(8, self.char_det.min_bucket))
+        nb = next_bucket(n, min_bucket=_bucket_floor(self.char_det))
         tiles.extend([np.zeros_like(tiles[0])] * (nb - n))
         out = self.char_det._fwd(np.stack(tiles))
         out = {k: np.asarray(v) for k, v in out.items()}
@@ -242,7 +250,7 @@ class KuzushijiPipeline:
         from kuzu.data.loader import next_bucket
 
         n = len(batch)
-        nb = next_bucket(n, min_bucket=max(8, self.recognizer.min_bucket))
+        nb = next_bucket(n, min_bucket=_bucket_floor(self.recognizer))
         batch.extend([np.zeros_like(batch[0])] * (nb - n))
         images = self.recognizer._put(np.stack(batch))
         tok = self.recognizer.tokenizer
@@ -357,7 +365,7 @@ class KuzushijiPipeline:
         from kuzu.data.loader import next_bucket
 
         t = len(texts)
-        tp = next_bucket(t, min_bucket=max(8, self.lm.min_bucket))
+        tp = next_bucket(t, min_bucket=_bucket_floor(self.lm))
         ids_p = np.zeros((tp, max_len), ids.dtype)
         ids_p[:t] = ids
         lens_p = np.zeros((tp,), np.int32)
@@ -510,10 +518,14 @@ class KuzushijiPipeline:
                 metas_all.extend(metas)
             stack = np.stack(tiles_all)
             pad = next_bucket(
-                len(stack), min_bucket=max(8, self.char_det.min_bucket)
+                len(stack), min_bucket=_bucket_floor(self.char_det)
             ) - len(stack)
             if pad:
-                stack = np.concatenate([stack, np.zeros_like(stack[:pad])])
+                # zeros_like(stack[:1]).repeat: stack[:pad] yields at most
+                # len(stack) rows and under-pads when pad > len(stack)
+                stack = np.concatenate(
+                    [stack, np.zeros_like(stack[:1]).repeat(pad, 0)]
+                )
             out = self.char_det._fwd(stack)
             out = {k: np.asarray(v) for k, v in out.items()}
             char_pages = []

@@ -179,29 +179,16 @@ class ClassifyValidator:
         wdir = None
         if ckpt and Path(str(ckpt)).exists():
             # accept the run dir or its weights/ dir; adopt the run's
-            # args.yaml (arch, imgsz, lora_rank...) like DetectValidator so
-            # the rebuilt model matches the checkpoint
+            # args.yaml (arch, imgsz, lora_rank...) so the rebuilt model
+            # matches the checkpoint
             run_dir = Path(str(ckpt))
             if (run_dir / "weights").exists():
                 wdir = run_dir / "weights"
             else:
                 wdir, run_dir = run_dir, run_dir.parent
-            args = run_dir / "args.yaml"
-            if args.exists():
-                from kuzu.core.config import load_config
+            from kuzu.core.config import rebase_on_run_config
 
-                base = load_config(args)
-                explicit = {
-                    k: cfg[k]
-                    for k in cfg.get("_explicit", [])
-                    if k in cfg and k != "model"
-                }
-                base.merge({**explicit, "mode": "val", "save": False})
-                base.merge(
-                    {"name": f"{base.get('name') or 'run'}-val",
-                     "exist_ok": True}
-                )
-                cfg = base
+            cfg = rebase_on_run_config(cfg, run_dir)
         trainer = ClassifyTrainer(cfg)
         trainer.train_loader, trainer.val_loader = trainer.build_datasets()
         params = trainer.build_model()
@@ -286,14 +273,17 @@ class ClassifyPredictor:
         mgr = CheckpointManager(run_dir / "weights")
         from kuzu.core.checkpoint import load_inference_params
 
-        self.params, ms = load_inference_params(mgr, state, train_cfg=train_cfg)
+        params, ms = load_inference_params(mgr, state, train_cfg=train_cfg)
         # weights/stats as jit ARGUMENTS (closures bake into the HLO)
-        self.variables = {"params": self.params, **(ms or {})}
+        self.variables = {"params": params, **(ms or {})}
         from kuzu.core.mesh import setup_inference_dp
 
         setup_inference_dp(self, self.cfg)
         if self._dp is not None:
             self.variables = self._dp.params(self.variables)
+        # one set of buffers: self.params aliases the (possibly mesh-placed)
+        # tree instead of keeping a second host copy alive
+        self.params = self.variables["params"]
         self._fwd = jax.jit(
             lambda v, x: jax.nn.softmax(
                 self.model.apply(v, x, train=False), -1

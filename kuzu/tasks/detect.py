@@ -269,20 +269,9 @@ class DetectValidator:
         if run_dir and (run_dir / "args.yaml").exists():
             # a trained run dir: rebase on its training config (arch, imgsz,
             # hyp) and re-apply only the keys the user explicitly overrode
-            from kuzu.core.config import load_config
+            from kuzu.core.config import rebase_on_run_config
 
-            base = load_config(run_dir / "args.yaml")
-            explicit = {
-                k: cfg[k]
-                for k in cfg.get("_explicit", [])
-                if k in cfg and k != "model"
-            }
-            base.merge({**explicit, "mode": "val", "save": False})
-            # keep the trainer's scratch dir away from the original run
-            base.merge(
-                {"name": f"{base.get('name') or 'run'}-val", "exist_ok": True}
-            )
-            cfg = base
+            cfg = rebase_on_run_config(cfg, run_dir)
         trainer = DetectTrainer(cfg)
         trainer.train_loader, trainer.val_loader = trainer.build_datasets()
         params = trainer.build_model()

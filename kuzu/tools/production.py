@@ -442,11 +442,12 @@ def production_pipeline(root: Path, decode: str = "greedy", dp: int = 0):
     )
 
 
-def bench(root: Path, pages: int = 16, reps: int = 3) -> dict:
+def bench(root: Path, pages: int = 16, reps: int = 3, dp: int = 0) -> dict:
     """Production-configuration cascade pages/s (yolov12x-P2P5 char det with
-    2x2 tiling + full-size TrOCR + LM rescoring), on the val pages."""
+    2x2 tiling + full-size TrOCR + LM rescoring), on the val pages.
+    ``dp=N`` serves every stage sharded over an N-chip mesh."""
     root = Path(root)
-    pipe = production_pipeline(root)
+    pipe = production_pipeline(root, dp=int(dp))
     paths = sorted((root / "char/images/val").glob("*.jpg"))[:pages]
     assert paths, "run synth + train first"
     # warmup (compiles)

@@ -110,7 +110,9 @@ def _finetune_native(
     kw.update(overrides)
     model = Model("trocr", task="recognize")
     result = model.train(**kw)
-    return Path(kw["project"]) / "recognize" / out.name, result
+    # the trainer's own save_dir is authoritative (overrides may carry
+    # project/name; re-deriving the layout here would return a wrong path)
+    return Path(model._trainer.save_dir), result
 
 
 def _finetune_unsloth(column_info_csv, base_model, output_dir, lora_rank, max_steps):
