@@ -211,6 +211,41 @@ def test_recognize_tp_and_dpxtp_equal_single(rec_run):
     assert dpxtp.min_bucket == 4  # data axis only
 
 
+def test_cascade_tiled_dp_equals_single(det_run, rec_run):
+    """The full tiled cascade (column det -> tiled char det -> crop ->
+    recognize) with dp=8 produces the same pages as single-device —
+    exercises the dp-divisible bucket floors and the tiled-batch padding
+    (both had real bugs: under-padding via zeros_like(stack[:pad]) and
+    max(8, mesh) floors that mesh sizes not dividing 8 break)."""
+    from kuzu.pipeline.cascade import KuzushijiPipeline
+
+    yml, det_dir = det_run
+    _, rec_dir = rec_run
+    pages = [
+        str(p) for p in sorted((yml.parent / "images" / "val").glob("*.jpg"))[:3]
+    ]
+
+    def run(dp):
+        pipe = KuzushijiPipeline(
+            column_model=det_dir, char_model=det_dir, recognizer=rec_dir,
+            tile_grid=2, conf=0.01, max_det=8, dp=dp,
+        )
+        return pipe.process_pages(pages)
+
+    base, sharded = run(0), run(8)
+    assert len(base) == len(sharded) == 3
+    for a, b in zip(base, sharded):
+        assert a.get("text") == b.get("text")
+        assert len(a["columns"]) == len(b["columns"])
+        for ca, cb in zip(a["columns"], b["columns"]):
+            np.testing.assert_allclose(ca["box"], cb["box"], rtol=1e-4, atol=1e-3)
+        na = np.asarray(a["characters"]["boxes"])
+        nb = np.asarray(b["characters"]["boxes"])
+        assert na.shape == nb.shape
+        if na.size:
+            np.testing.assert_allclose(na, nb, rtol=1e-4, atol=1e-3)
+
+
 def test_pipeline_lm_rescore_dp(tmp_path_factory):
     """The cascade's jitted LM rescore runs sharded when the pipeline gets
     dp=N (same pseudo-log-likelihoods as single-device)."""
