@@ -70,6 +70,18 @@ class DataLoader:
         self.collate = collate_fn or default_collate
         self.num_workers = max(num_workers, 0)
         self.prefetch = prefetch
+        if self.num_workers > 0:
+            # cv2's internal per-call thread pool fights the loader's worker
+            # threads (measured: 8 workers gave 25 -> 27 img/s at flagship
+            # scale). Single-threaded cv2 calls let workers parallelize
+            # ACROSS samples instead (reference does the same,
+            # ultralytics/data/build.py cv2.setNumThreads(0)).
+            try:
+                import cv2
+
+                cv2.setNumThreads(0)
+            except ImportError:
+                pass
         # group_fn(idx) -> hashable key: batches draw only within a group
         # (rect/aspect-grouped batching — reference rect mode, data/base.py).
         # Keeps every batch shape-static per group so XLA compiles once per

@@ -73,6 +73,7 @@ class DetectTrainer(BaseTrainer):
             hyp=hyp,
             seed=int(cfg.get("seed", 0)),
             rect=rect,
+            cache_images=cfg.get("cache_images"),
         )
         try:
             self.val_ds = YoloDetectionDataset(

@@ -91,6 +91,39 @@ def test_mosaic_produces_valid_boxes(yolo_dataset):
             assert (b >= 0).all() and (b <= 64).all()
 
 
+def test_image_cache_identical_samples(yolo_dataset):
+    """cache_images=ram/disk must not change a single pixel or box: the
+    cache stores the decoded RGB array, every augmentation draws from the
+    same seeded rng. Also guards against in-place mutation of cached
+    arrays by the augmentation pipeline (two epochs compared)."""
+    from kuzu.data.yolo_dataset import YoloDetectionDataset
+
+    def build(cache_images):
+        return YoloDetectionDataset(
+            yolo_dataset, split="train", imgsz=64, max_boxes=20,
+            hyp={"mosaic": 1.0, "scale": 0.4}, cache_images=cache_images,
+        )
+
+    ref, ram = build(None), build("ram")
+    for epoch in (0, 1):  # epoch 1 re-reads the now-populated cache
+        ref.set_epoch(epoch)
+        ram.set_epoch(epoch)
+        for i in range(4):
+            a, b = ref[i], ram[i]
+            np.testing.assert_array_equal(a["image"], b["image"])
+            np.testing.assert_array_equal(a["gt_boxes"], b["gt_boxes"])
+
+    disk = build("disk")
+    try:
+        s = disk[0]
+        np.testing.assert_array_equal(ref.set_epoch(1) or ref[0]["image"],
+                                      disk.set_epoch(1) or disk[0]["image"])
+        assert list(yolo_dataset.parent.rglob("*.cache.npy")), "no disk cache"
+    finally:
+        for p in yolo_dataset.parent.rglob("*.cache.npy"):
+            p.unlink()
+
+
 def _detect_cfg(yolo_dataset, tmp_path, **kw):
     from kuzu.core.config import load_config
 
