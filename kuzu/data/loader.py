@@ -68,7 +68,13 @@ class DataLoader:
         self.drop_last = drop_last and not pad_last
         self.pad_last = pad_last
         self.collate = collate_fn or default_collate
-        self.num_workers = max(num_workers, 0)
+        import os
+
+        # clamp to the host's cores: worker threads beyond them only add
+        # GIL/scheduler contention (measured on a 1-core host: hot-cache
+        # 53.8 img/s at workers=0 vs 44.9 at workers=2; the old default of
+        # 4 workers HALVED throughput there)
+        self.num_workers = min(max(num_workers, 0), os.cpu_count() or 1)
         self.prefetch = prefetch
         if self.num_workers > 0:
             # cv2's internal per-call thread pool fights the loader's worker
