@@ -41,6 +41,9 @@ def load_letterboxed(
 ) -> np.ndarray:
     """PIL load -> aspect resize -> top-left paste on fill canvas -> normalize.
 
+    ``path`` may be a pre-decoded ``PIL.Image`` (RGB) — datasets pass cached
+    decodes through (``cache_images='ram'``).
+
     Host-side analogue of ``ResizeWithPadding`` (trocr_dataset.py:12-53):
     content anchored at origin, white fill, (x-mean)/std. With ``rng``,
     applies train-time augmentation: scale jitter + small paste offset +
@@ -49,7 +52,11 @@ def load_letterboxed(
     zero-egress image cannot).
     """
     try:
-        img = Image.open(path).convert("RGB")
+        img = (
+            path
+            if isinstance(path, Image.Image)
+            else Image.open(path).convert("RGB")
+        )
         w, h = img.size
         gain = min(out_h / h, out_w / w)
         ox = oy = 0
@@ -89,8 +96,11 @@ class ColumnInfoDataset:
         split_fracs: tuple[float, float] = (0.8, 0.1),  # train, val (rest test)
         augment: bool = False,
         seed: int = 0,
+        cache_images: str | None = None,  # 'ram': decode each column once
     ):
         import pandas as pd
+
+        self.cache_images = cache_images if cache_images == "ram" else None
 
         self.csv_path = Path(csv_path)
         self.tokenizer = tokenizer
@@ -113,6 +123,23 @@ class ColumnInfoDataset:
             "test": slice(n_train + n_val, n),
         }[split]
         self.items = list(zip(paths[sl], texts[sl]))
+        self._img_cache: list | None = (
+            [None] * len(self.items) if self.cache_images else None
+        )
+
+    def _source(self, idx: int):
+        """Image source for one item: the path, or a cached decode."""
+        path = self.items[idx][0]
+        if self._img_cache is None:
+            return path
+        img = self._img_cache[idx]
+        if img is None:
+            try:
+                img = Image.open(path).convert("RGB")
+            except OSError:
+                return path  # load_letterboxed emits its blank fallback
+            self._img_cache[idx] = img  # atomic list store under the GIL
+        return img
 
     def _resolve(self, p: str) -> Path:
         q = Path(p)
@@ -128,7 +155,7 @@ class ColumnInfoDataset:
         self._epoch = epoch
 
     def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
-        path, text = self.items[idx]
+        _, text = self.items[idx]
         rng = (
             np.random.default_rng(
                 (self.seed * 1_000_003 + self._epoch * 7919 + idx) % (2**31)
@@ -136,7 +163,7 @@ class ColumnInfoDataset:
             if self.augment
             else None
         )
-        image = load_letterboxed(path, *self.image_size, rng=rng)
+        image = load_letterboxed(self._source(idx), *self.image_size, rng=rng)
         tokens = self.tokenizer.encode(text, max_length=self.max_length)
         length = int((tokens != self.tokenizer.pad_id).sum())
         return {

@@ -73,6 +73,7 @@ class RecognizeTrainer(BaseTrainer):
                 data, tok, split=split, image_size=size, max_length=max_len,
                 augment=aug and split == "train",
                 seed=int(cfg.get("seed", 0)),
+                cache_images=cfg.get("cache_images"),
             )
         else:
             make = lambda split, tok: OneLineDataset(

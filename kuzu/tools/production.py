@@ -408,7 +408,7 @@ def train_stage(root: Path, stage: str, **overrides) -> dict:
                 optimizer="adamw", lr0=3e-4, warmup_epochs=1.0,
                 resume=bool(overrides.get("rec_resume", 0)),
                 project=str(root / "runs"), name="rec", exist_ok=True,
-                workers=2, **kw,
+                workers=2, cache_images="ram", **kw,
             )
         )
     print(json.dumps({k: _jsonable(v) for k, v in results.items()}))

@@ -108,6 +108,20 @@ def test_column_info_dataset(column_info_csv):
     assert s["image"].shape == (64, 256, 3)
     # unicode decoding round-trips
     assert tok.decode(s["tokens"]) == TEXTS[0]
+    # cache_images=ram: bitwise-identical samples, including augmented ones
+    # on a SECOND read (guards against mutation of the cached decode)
+    cached = ColumnInfoDataset(
+        column_info_csv, tok, split="train", image_size=(64, 256),
+        max_length=8, augment=True, cache_images="ram",
+    )
+    plain = ColumnInfoDataset(
+        column_info_csv, tok, split="train", image_size=(64, 256),
+        max_length=8, augment=True,
+    )
+    for i in (0, 3):
+        np.testing.assert_array_equal(plain[i]["image"], cached[i]["image"])
+        np.testing.assert_array_equal(plain[i]["image"], cached[i]["image"])
+    assert cached._img_cache[0] is not None
 
 
 def test_recognize_trainer_end_to_end(oneline_root, tmp_path):
