@@ -363,7 +363,7 @@ def train_stage(root: Path, stage: str, **overrides) -> dict:
                 batch=4, dtype="bfloat16", max_boxes=64, max_det=96,
                 reg_max=32,
                 project=str(root / "runs"), name="col", exist_ok=True,
-                **({"workers": 2}),
+                workers=2, cache_images="ram",
             )
         )
     if stage in ("char", "all"):
@@ -375,7 +375,7 @@ def train_stage(root: Path, stage: str, **overrides) -> dict:
                 batch=8, dtype="bfloat16", remat=True,
                 max_boxes=400, max_det=2000, conf=0.25,
                 project=str(root / "runs"), name="char", exist_ok=True,
-                workers=2,
+                workers=2, cache_images="ram",
             )
         )
     if stage in ("lm", "all"):
