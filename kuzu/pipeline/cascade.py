@@ -466,15 +466,16 @@ class KuzushijiPipeline:
             results.append(result)
         if self.recognizer is not None and all_crops:
             texts = self.recognize_crops(all_crops)  # one batched generate
+            # ONE jitted rescore for every column of every page (per-page
+            # calls were one dispatch + one bucket pad each)
+            scores = self.rescore_texts(texts) if self.lm is not None else None
             for result, (lo, hi) in zip(results, crop_spans):
                 page_texts = texts[lo:hi]
                 for col, t in zip(result["columns"], page_texts):
                     col["text"] = t
                 result["text"] = "\n".join(page_texts)
-                if self.lm is not None and page_texts:
-                    for col, s in zip(
-                        result["columns"], self.rescore_texts(page_texts)
-                    ):
+                if scores is not None:
+                    for col, s in zip(result["columns"], scores[lo:hi]):
                         col["lm_score"] = s
         return results
 
@@ -590,15 +591,14 @@ class KuzushijiPipeline:
             results.append(result)
         if self.recognizer is not None and all_crops:
             texts = self.recognize_crops(all_crops)
+            scores = self.rescore_texts(texts) if self.lm is not None else None
             for result, (lo, hi) in zip(results, crop_spans):
                 page_texts = texts[lo:hi]
                 for col, t in zip(result["columns"], page_texts):
                     col["text"] = t
                 result["text"] = "\n".join(page_texts)
-                if self.lm is not None and page_texts:
-                    for col, s in zip(
-                        result["columns"], self.rescore_texts(page_texts)
-                    ):
+                if scores is not None:
+                    for col, s in zip(result["columns"], scores[lo:hi]):
                         col["lm_score"] = s
         return results
 

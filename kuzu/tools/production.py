@@ -21,6 +21,7 @@ Commands (``python -m kuzu.tools.production <cmd> k=v ...``):
   train    train col/char/rec/lm at production config (stage=all|col|char|rec|lm)
   quality  dense-page detection mAP@max_det=2000 + recognizer CER
   bench    cascade pages/s at the production configuration
+  profile  differential per-stage timing of the production cascade
   sample   run the cascade on the real sample page -> YAML + viz
 """
 
@@ -473,6 +474,47 @@ def bench(root: Path, pages: int = 16, reps: int = 3, dp: int = 0) -> dict:
     return res
 
 
+def profile(root: Path, pages: int = 16, reps: int = 2, dp: int = 0) -> dict:
+    """Differential stage timing of the production cascade: re-run
+    ``process_pages`` with trailing stages successively disabled and report
+    per-stage seconds. Differences of end-to-end timings survive the axon
+    tunnel (no ``block_until_ready`` across it) and exercise exactly the
+    production code path, so the split is what the user actually pays."""
+    root = Path(root)
+    pipe = production_pipeline(root, dp=int(dp))
+    paths = sorted((root / "char/images/val").glob("*.jpg"))[:pages]
+    assert paths, "run synth + train first"
+
+    def timed():
+        pipe.process_pages(paths)  # warm the page-count bucket (compiles)
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            pipe.process_pages(paths)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_all = timed()
+    lm, pipe.lm = pipe.lm, None
+    t_nolm = timed()
+    rec, pipe.recognizer = pipe.recognizer, None
+    t_det = timed()
+    char, pipe.char_det = pipe.char_det, None
+    t_col = timed()
+    pipe.lm, pipe.recognizer, pipe.char_det = lm, rec, char
+    res = {
+        "pages": len(paths),
+        "total_s": t_all,
+        "pages_per_s": len(paths) / t_all,
+        "column_det_s": t_col,
+        "char_det_s": t_det - t_col,
+        "recognize_s": t_nolm - t_det,
+        "lm_rescore_s": t_all - t_nolm,
+    }
+    print(json.dumps(res))
+    return res
+
+
 def quality(root: Path) -> dict:
     """Dense-regime quality: char-detector mAP on full 1280-px val pages
     through the tiled path at max_det=2000, plus recognizer CER on held-out
@@ -669,6 +711,8 @@ def main(argv=None):
         train_stage(root, str(kv.pop("stage", "all")), **kv)
     elif cmd == "bench":
         bench(root, **kv)
+    elif cmd == "profile":
+        profile(root, **kv)
     elif cmd == "quality":
         quality(root)
     elif cmd == "sample":
