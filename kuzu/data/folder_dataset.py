@@ -56,9 +56,9 @@ class GlyphFolderDataset:
             img = Image.open(path)
             img = img.convert("L" if self.channels == 1 else "RGB")
             img = img.resize((s, s), Image.BILINEAR)
-            arr = np.asarray(img, dtype=np.float32) / 255.0
+            arr = np.asarray(img, dtype=np.uint8)  # models /255 on-device
             if self.channels == 1:
                 arr = arr[..., None]
         except Exception:
-            arr = np.zeros((s, s, self.channels), np.float32)
+            arr = np.zeros((s, s, self.channels), np.uint8)
         return {"image": arr, "label": np.int32(label)}

@@ -35,21 +35,21 @@ def load_letterboxed(
     out_h: int,
     out_w: int,
     fill: int = 255,
-    mean: float = 0.5,
-    std: float = 0.5,
     rng: np.random.Generator | None = None,
 ) -> np.ndarray:
-    """PIL load -> aspect resize -> top-left paste on fill canvas -> normalize.
+    """PIL load -> aspect resize -> top-left paste on fill canvas -> uint8.
 
     ``path`` may be a pre-decoded ``PIL.Image`` (RGB) — datasets pass cached
     decodes through (``cache_images='ram'``).
 
     Host-side analogue of ``ResizeWithPadding`` (trocr_dataset.py:12-53):
-    content anchored at origin, white fill, (x-mean)/std. With ``rng``,
-    applies train-time augmentation: scale jitter + small paste offset +
-    brightness/contrast + gaussian noise (the reference fine-tunes from
-    pretrained TrOCR weights and can skip this; training from scratch in a
-    zero-egress image cannot).
+    content anchored at origin, white fill. Returns RAW uint8 pixels — the
+    models normalize on-device (``kuzu.ops.images.from_uint8``), which cuts
+    the host->device transfer 4x (and the tunnel client's per-transfer host
+    retention with it). With ``rng``, applies the *geometric* train-time
+    jitter (scale + small paste offset); photometric jitter moved on-device
+    (``kuzu.ops.images.photometric_aug`` in the recognize loss) where it is
+    fused VPU work instead of per-sample numpy on a 1-core host.
     """
     try:
         img = (
@@ -69,17 +69,10 @@ def load_letterboxed(
         img = img.resize((nw, nh), Image.BILINEAR)
         canvas = Image.new("RGB", (out_w, out_h), (fill,) * 3)
         canvas.paste(img, (ox, oy))
-        arr = np.asarray(canvas, np.float32) / 255.0
-        if rng is not None:
-            arr = arr * float(rng.uniform(0.85, 1.15))  # contrast
-            arr = arr + float(rng.uniform(-0.12, 0.12))  # brightness
-            sigma = float(rng.uniform(0.0, 0.04))
-            if sigma > 0:
-                arr = arr + rng.normal(0.0, sigma, arr.shape).astype(np.float32)
-            arr = np.clip(arr, 0.0, 1.0)
+        arr = np.asarray(canvas, np.uint8)
     except Exception:
-        arr = np.full((out_h, out_w, 3), fill / 255.0, np.float32)
-    return (arr - mean) / std
+        arr = np.full((out_h, out_w, 3), fill, np.uint8)
+    return arr
 
 
 class ColumnInfoDataset:

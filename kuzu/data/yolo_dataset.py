@@ -576,7 +576,7 @@ class YoloDetectionDataset:
         mask = np.zeros((m,), bool)
         mask[:n] = True
         return {
-            "image": np.ascontiguousarray(img, np.uint8).astype(np.float32) / 255.0,
+            "image": np.ascontiguousarray(img, np.uint8),  # models /255 on-device
             "gt_boxes": out_boxes,
             "gt_labels": out_labels,
             "mask_gt": mask,
@@ -678,7 +678,7 @@ class YoloSegmentDataset(YoloDetectionDataset):
         vmask = np.zeros((m,), bool)
         vmask[:n] = True
         return {
-            "image": np.ascontiguousarray(img, np.uint8).astype(np.float32) / 255.0,
+            "image": np.ascontiguousarray(img, np.uint8),  # models /255 on-device
             "gt_boxes": out_boxes,
             "gt_labels": out_labels,
             "mask_gt": vmask,
@@ -766,7 +766,7 @@ class YoloPoseDataset(YoloDetectionDataset):
         vmask = np.zeros((m,), bool)
         vmask[:n] = True
         return {
-            "image": np.ascontiguousarray(img, np.uint8).astype(np.float32) / 255.0,
+            "image": np.ascontiguousarray(img, np.uint8),  # models /255 on-device
             "gt_boxes": out_boxes,
             "gt_labels": out_labels,
             "mask_gt": vmask,
@@ -840,7 +840,7 @@ class YoloOBBDataset(YoloDetectionDataset):
         vmask = np.zeros((m,), bool)
         vmask[:n] = True
         return {
-            "image": np.ascontiguousarray(img, np.uint8).astype(np.float32) / 255.0,
+            "image": np.ascontiguousarray(img, np.uint8),  # models /255 on-device
             "gt_rboxes": out_rb,
             "gt_labels": out_labels,
             "mask_gt": vmask,

@@ -75,6 +75,9 @@ class CRNN(nn.Module):
         self, images: jnp.ndarray, train: bool = False
     ) -> tuple[jnp.ndarray, jnp.ndarray | None]:
         """(B, H, W, C) -> (logits (B, T, num_classes), boxes (B, max_boxes, 4)|None)."""
+        from kuzu.ops.images import from_uint8
+
+        images = from_uint8(images, mean=0.5, std=0.5)  # OCR input convention
         feat = ConvEncoder(self.dims, self.time_axis, dtype=self.dtype, name="encoder")(
             images, train=train
         )

@@ -28,7 +28,10 @@ class SimpleViT(nn.Module):
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        """images: (B, H, W, C) in [0, 1] -> logits (B, num_classes)."""
+        """images: (B, H, W, C) in [0, 1] (or raw uint8) -> logits (B, num_classes)."""
+        from kuzu.ops.images import from_uint8
+
+        images = from_uint8(images)
         gh = self.image_size[0] // self.patch_size[0]
         gw = self.image_size[1] // self.patch_size[1]
         x = PatchEmbed(self.dim, self.patch_size, dtype=self.dtype)(images)

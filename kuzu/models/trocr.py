@@ -193,11 +193,20 @@ class TrOCR(nn.Module):
         self, images: jnp.ndarray, tokens: jnp.ndarray, train: bool = False
     ) -> jnp.ndarray:
         """Teacher-forced logits (B, T, V) for input tokens."""
-        memory = self.encoder(images, train=train)
+        memory = self.encoder(self._norm(images), train=train)
         return self.decoder(tokens, memory, train=train)
 
+    @staticmethod
+    def _norm(images: jnp.ndarray) -> jnp.ndarray:
+        """uint8 pixels -> (x/255 - 0.5)/0.5, the TrOCR input convention
+        (reference ``src/data/trocr_dataset.py`` Normalize(0.5, 0.5));
+        pre-normalized float input passes through."""
+        from kuzu.ops.images import from_uint8
+
+        return from_uint8(images, mean=0.5, std=0.5)
+
     def encode(self, images: jnp.ndarray) -> jnp.ndarray:
-        return self.encoder(images, train=False)
+        return self.encoder(self._norm(images), train=False)
 
     def decode_step(
         self, tokens: jnp.ndarray, memory: jnp.ndarray, step: jnp.ndarray

@@ -38,6 +38,9 @@ class ViTPatchDetector(nn.Module):
         self, images: jnp.ndarray, train: bool = False
     ) -> dict[str, jnp.ndarray]:
         """-> {'boxes' (B, P, 4) normalized xyxy, 'conf' (B, P), 'cls' (B, P, nc)}."""
+        from kuzu.ops.images import from_uint8
+
+        images = from_uint8(images)
         gh = self.image_size[0] // self.patch_size[0]
         gw = self.image_size[1] // self.patch_size[1]
         x = PatchEmbed(self.dim, self.patch_size, dtype=self.dtype)(images)

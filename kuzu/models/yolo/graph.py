@@ -274,6 +274,9 @@ class YoloGraph(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> list[jnp.ndarray]:
+        from kuzu.ops.images import from_uint8
+
+        x = from_uint8(x)  # raw uint8 batches normalize on-device
         outputs: dict[int, jnp.ndarray] = {}
         cur = x
         result = None

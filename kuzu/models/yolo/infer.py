@@ -484,7 +484,9 @@ def run_graph(
     """
     params = variables["params"]
     stats = variables.get("batch_stats", {})
-    x = images.astype(jnp.bfloat16)
+    from kuzu.ops.images import from_uint8
+
+    x = from_uint8(images, dtype=jnp.bfloat16)
     outputs: dict[int, jnp.ndarray] = {}
     cur = x
     result = None

@@ -202,7 +202,7 @@ class KuzushijiPipeline:
 
         for (xa, ya, _, _), crop in zip(bounds, crops):
             canvas, gain, (px, py) = letterbox_np(crop, size)
-            tiles.append(canvas.astype(np.float32) / 255.0)
+            tiles.append(canvas)  # uint8; the detector normalizes on-device
             metas.append((xa, ya, gain, px, py))
         # pad the column count to a static bucket so repeat pages reuse the
         # compiled program (a fresh batch dim = a fresh XLA program)
@@ -306,8 +306,7 @@ class KuzushijiPipeline:
         resized = cv2.resize(crop, (nw, nh), interpolation=cv2.INTER_LINEAR)
         canvas = np.full((out_h, out_w, 3), 255, np.uint8)
         canvas[:nh, :nw] = resized
-        arr = canvas.astype(np.float32) / 255.0
-        return (arr - 0.5) / 0.5
+        return canvas  # uint8; TrOCR normalizes on-device (ops.images)
 
     def rescore_texts(self, texts: list[str]) -> list[float]:
         """Masked pseudo-log-likelihood per text via the char-LM.

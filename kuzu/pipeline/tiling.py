@@ -49,7 +49,7 @@ def tile_image(
             (crop * 255).astype(np.uint8) if crop.dtype != np.uint8 else crop,
             tile_size,
         )
-        tiles.append(canvas.astype(np.float32) / 255.0)
+        tiles.append(canvas)  # uint8; the detector normalizes on-device
         metas.append(
             {"origin": (px1, py1), "gain": gain, "pad": (pad_x, pad_y)}
         )

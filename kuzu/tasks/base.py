@@ -56,6 +56,29 @@ def resolve_val_batches(cfg: Config, loader: Any, key: str = "val_batches") -> i
     return cap
 
 
+def _host_rss_gb() -> float:
+    """Current resident size of this process in GB (0.0 if unreadable)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1e6  # kB -> GB
+    except OSError:
+        pass
+    return 0.0
+
+
+def _host_mem_total_gb() -> float:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0
+
+
 class BaseTrainer:
     # optimizer='auto' resolution for this task family (see train())
     auto_optimizer = "sgd"
@@ -320,12 +343,14 @@ class BaseTrainer:
                 val_metrics.get("fitness", -train_metrics.get("loss", 0.0))
             )
 
+            rss_gb = _host_rss_gb()
             row = {
                 "epoch": epoch,
                 **{f"train/{k}": v for k, v in train_metrics.items()},
                 **{f"val/{k}": v for k, v in val_metrics.items()},
                 "fitness": fitness,
                 "time_s": time.perf_counter() - te,
+                "rss_gb": rss_gb,
             }
             if process_is_primary():
                 self.csv.log(row)
@@ -346,6 +371,21 @@ class BaseTrainer:
                     f"early stop at epoch {epoch} "
                     f"(best {self.stopper.best_fitness:.4g} @ {self.stopper.best_epoch})"
                 )
+                break
+            # Host-RSS watchdog: the tunneled-TPU client retains a host copy
+            # of EVERY host->device transfer for the life of the process
+            # (measured ~1:1 with bytes shipped), so any long run eventually
+            # OOM-kills the host. Stop cleanly after the checkpoint instead —
+            # relaunching with resume=1 continues from here in a fresh
+            # process (self-chunking long trainings).
+            rss_limit = float(cfg.get("max_rss_frac", 0.85)) * _host_mem_total_gb()
+            if rss_limit and rss_gb > rss_limit:
+                LOGGER.warning(
+                    f"host RSS watchdog: {rss_gb:.1f} GB > {rss_limit:.1f} GB "
+                    f"— stopping after epoch {epoch} (checkpoint saved); "
+                    f"relaunch with resume=1 to continue"
+                )
+                final_metrics["stopped_rss"] = float(epoch)
                 break
             if time_limit_h and (time.perf_counter() - t0) > float(time_limit_h) * 3600:
                 LOGGER.info("time limit reached")

@@ -301,7 +301,7 @@ class ClassifyPredictor:
         for p in paths:
             img = Image.open(p).convert("L" if self.channels == 1 else "RGB")
             img = img.resize((self.imgsz, self.imgsz), Image.BILINEAR)
-            arr = np.asarray(img, np.float32) / 255.0
+            arr = np.asarray(img, np.uint8)  # models /255 on-device
             if self.channels == 1:
                 arr = arr[..., None]
             imgs.append(arr)

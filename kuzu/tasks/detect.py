@@ -400,7 +400,7 @@ class DetectPredictor:
         for f in frames:
             h, w = f.image.shape[:2]
             canvas, gain, (px, py) = letterbox_np(f.image, self.imgsz)
-            images.append(canvas.astype(np.float32) / 255.0)
+            images.append(canvas)  # uint8; the model normalizes on-device
             meta.append((h, w, gain, px, py))
         # pad the frame count to a static bucket (1/2/4/8/...) so repeat
         # calls with varying counts reuse the compiled program

@@ -225,7 +225,7 @@ class OBBPredictor(DetectPredictor):
         for f in frames:
             h, w = f.image.shape[:2]
             canvas, gain, (px, py) = letterbox_np(f.image, self.imgsz)
-            images.append(canvas.astype(np.float32) / 255.0)
+            images.append(canvas)  # uint8; the model normalizes on-device
             meta.append((h, w, gain, px, py))
         from kuzu.data.loader import next_bucket
 

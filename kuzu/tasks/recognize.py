@@ -200,9 +200,19 @@ class RecognizeTrainer(BaseTrainer):
         tokens = batch["tokens"]  # (B, L) = <s> text </s> pad...
         inputs = tokens[:, :-1]
         targets = tokens[:, 1:]
+        images = batch["image"]
+        if images.dtype == jnp.uint8 and bool(self.cfg.get("augment", True)):
+            # photometric jitter on-device (geometric jitter stays in the
+            # dataset); float input passes through TrOCR._norm untouched,
+            # so finish the normalization here
+            from kuzu.ops.images import from_uint8, photometric_aug
+
+            rng, arng = jax.random.split(rng)
+            images = photometric_aug(from_uint8(images), arng)
+            images = (images - 0.5) / 0.5  # model sees the final convention
         logits = self.model.apply(
             {"params": params},
-            batch["image"],
+            images,
             inputs,
             train=True,
             rngs={"dropout": rng},

@@ -31,7 +31,7 @@ def test_tile_image_shapes():
     img = (np.random.default_rng(0).uniform(0, 255, (200, 160, 3))).astype(np.uint8)
     tiles, metas = tile_image(img, grid=2, overlap=0.15, tile_size=64)
     assert tiles.shape == (4, 64, 64, 3)
-    assert tiles.dtype == np.float32
+    assert tiles.dtype == np.uint8  # raw pixels; detectors normalize on-device
     assert len(metas) == 4
     assert metas[0]["origin"] == (0, 0)
 
