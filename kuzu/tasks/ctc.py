@@ -45,11 +45,26 @@ class CTCTrainer(BaseTrainer):
         with_boxes = int(cfg.get("max_boxes", 0)) > 0
         tok_path = cfg.get("tokenizer")
         tokenizer = CharTokenizer.load(tok_path) if tok_path else None
-        make = lambda split, tok: OneLineDataset(
-            str(cfg.data), tok, split=split, image_size=size,
-            max_length=max_len, with_boxes=with_boxes,
-            max_boxes=max(int(cfg.get("max_boxes", 0)), 1),
-        )
+        data = str(cfg.data)
+        if data.endswith(".csv"):
+            # column_info.csv (production regime): same data the TrOCR
+            # recognizer trains on, so CTC and AR recognizers A/B on equal
+            # footing. No bbox head from csv (boxes are page-frame).
+            from kuzu.data.ocr_datasets import ColumnInfoDataset
+
+            aug = bool(cfg.get("augment", True))
+            make = lambda split, tok: ColumnInfoDataset(
+                data, tok, split=split, image_size=size, max_length=max_len,
+                augment=aug and split == "train",
+                seed=int(cfg.get("seed", 0)),
+                cache_images=cfg.get("cache_images"),
+            )
+        else:
+            make = lambda split, tok: OneLineDataset(
+                data, tok, split=split, image_size=size,
+                max_length=max_len, with_boxes=with_boxes,
+                max_boxes=max(int(cfg.get("max_boxes", 0)), 1),
+            )
         if tokenizer is None:
             tokenizer = build_tokenizer_from_datasets(make("train", None))
         self.tokenizer = tokenizer
@@ -94,8 +109,17 @@ class CTCTrainer(BaseTrainer):
 
     def loss_fn(self, params, model_state, batch, rng):
         variables = {"params": params, **model_state}
+        images = batch["image"]
+        if images.dtype == jnp.uint8 and bool(self.cfg.get("augment", True)):
+            # photometric jitter on-device (see recognize.py — geometric
+            # jitter stays in the dataset); CRNN normalizes (x-.5)/.5, so
+            # finish that here since floats pass through untouched
+            from kuzu.ops.images import from_uint8, photometric_aug
+
+            rng, arng = jax.random.split(rng)
+            images = (photometric_aug(from_uint8(images), arng) - 0.5) / 0.5
         (logits, boxes), mutated = self.model.apply(
-            variables, batch["image"], train=True, mutable=["batch_stats"]
+            variables, images, train=True, mutable=["batch_stats"]
         )
         # labels without BOS/EOS: strip specials for CTC (blank=0=<pad>)
         tokens = batch["tokens"]

@@ -392,6 +392,23 @@ def train_stage(root: Path, stage: str, **overrides) -> dict:
                 workers=2,
             )
         )
+    if stage == "ctc":
+        # alternative recognizer family: CTC CRNN on the SAME columns the AR
+        # TrOCR trains on — monotonic image alignment, no text-prior shortcut
+        # (reference ocr_lightning path, ``scripts/ocr_model.py:108``)
+        m = Model("crnn", task="ctc")
+        results["ctc"] = dict(
+            m.train(
+                data=str(root / "column_info.csv"),
+                tokenizer=str(root / "tokenizer.json"),
+                imgsz=[1024, 64], epochs=int(overrides.get("ctc_epochs", 30)),
+                batch=16, max_label_length=128, dtype="bfloat16",
+                optimizer="adamw", lr0=3e-4, warmup_epochs=1.0,
+                resume=bool(overrides.get("ctc_resume", 0)),
+                project=str(root / "runs"), name="ctc", exist_ok=True,
+                workers=2, cache_images="ram",
+            )
+        )
     if stage in ("rec", "all"):
         m = Model("trocr", task="recognize")
         kw = {}

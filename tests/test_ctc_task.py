@@ -104,3 +104,36 @@ def test_ctc_predictor_roundtrip(column_root, tmp_path):
     out = predictor(imgs)
     assert len(out) == 2
     assert all(isinstance(t, str) for t in out)
+
+
+def test_ctc_trainer_column_info_csv(tmp_path):
+    """CTC on the production column_info.csv schema (same data as TrOCR)."""
+    import pandas as pd
+
+    from kuzu.core.config import load_config
+    from kuzu.tasks.ctc import CTCTrainer
+
+    root = tmp_path / "colinfo"
+    (root / "imgs").mkdir(parents=True)
+    rows = []
+    for i, t in enumerate(TEXTS * 2):
+        img, _ = _column_image(t)
+        img.save(root / "imgs" / f"{i}.png")
+        uni = " ".join(f"U+{ord(c):04X}" for c in t)
+        rows.append({"column_image": f"imgs/{i}.png", "unicode_ids": uni})
+    pd.DataFrame(rows).to_csv(root / "column_info.csv", index=False)
+
+    cfg = load_config(
+        overrides=dict(
+            task="ctc", data=str(root / "column_info.csv"), epochs=1, batch=4,
+            imgsz=[128, 32], max_label_length=8, lstm_hidden=32,
+            optimizer="adamw", warmup_epochs=0.0, workers=0, dtype="float32",
+            project=str(tmp_path / "runs"), name="ctccsv", exist_ok=True,
+        )
+    )
+    trainer = CTCTrainer(cfg)
+    result = trainer.train()
+    assert np.isfinite(result["loss"])
+    assert "cer" in result
+    # csv datasets emit raw uint8 (models normalize on-device)
+    assert trainer.train_ds[0]["image"].dtype == np.uint8
