@@ -37,6 +37,10 @@ class Model:
     """
 
     def __init__(self, model: str | Path, task: str | None = None, **kwargs: Any):
+        if str(model).startswith("hub://"):  # local registry (core/hub.py)
+            from kuzu.core.hub import resolve
+
+            model = resolve(model)
         self.model_spec = str(model)
         self.task = task or self._guess_task(self.model_spec)
         self.overrides: dict[str, Any] = dict(kwargs)
