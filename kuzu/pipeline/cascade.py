@@ -30,6 +30,17 @@ def sort_columns_right_to_left(boxes: np.ndarray) -> np.ndarray:
     return np.argsort(-(boxes[:, 0] + boxes[:, 2]) / 2)
 
 
+def _run_task(run_dir: str | Path, default: str = "recognize") -> str:
+    """Task recorded in a training run's args.yaml snapshot."""
+    args = Path(str(run_dir)) / "args.yaml"
+    if args.exists():
+        try:
+            return str((yaml.safe_load(args.read_text()) or {}).get("task", default))
+        except yaml.YAMLError:
+            pass
+    return default
+
+
 def _bucket_floor(predictor, base: int = 8) -> int:
     """Smallest multiple of the predictor's mesh size >= ``base`` — bucket
     sizes (floor * 2^k) then stay divisible by the data axis even when the
@@ -94,11 +105,22 @@ class KuzushijiPipeline:
                 )
             )
         if recognizer:
-            from kuzu.tasks.recognize import RecognizePredictor
+            # pluggable recognizer family: the run dir's args.yaml says
+            # whether it is an AR TrOCR run (task=recognize) or a CTC CRNN
+            # run (task=ctc) — both train on the same column data
+            self.rec_task = _run_task(recognizer)
+            if self.rec_task == "ctc":
+                from kuzu.tasks.ctc import CTCPredictor
 
-            self.recognizer = RecognizePredictor(
-                load_config(overrides={"model": str(recognizer), "dp": self.dp})
-            )
+                self.recognizer = CTCPredictor(
+                    load_config(overrides={"model": str(recognizer), "dp": self.dp})
+                )
+            else:
+                from kuzu.tasks.recognize import RecognizePredictor
+
+                self.recognizer = RecognizePredictor(
+                    load_config(overrides={"model": str(recognizer), "dp": self.dp})
+                )
         if lm:
             from kuzu.tasks.lm import LMPredictor
 
@@ -254,6 +276,17 @@ class KuzushijiPipeline:
         batch.extend([np.zeros_like(batch[0])] * (nb - n))
         images = self.recognizer._put(np.stack(batch))
         tok = self.recognizer.tokenizer
+        if getattr(self, "rec_task", "recognize") == "ctc":
+            if self.decode == "beam_lm":
+                raise ValueError(
+                    "decode='beam_lm' reranks AR beam candidates; the CTC "
+                    "recognizer decodes greedily (use decode='greedy')"
+                )
+            (seqs, lens), _ = self.recognizer._fwd(
+                self.recognizer.variables, images
+            )
+            seqs, lens = np.asarray(seqs)[:n], np.asarray(lens)[:n]
+            return [tok.decode(s[:m]) for s, m in zip(seqs, lens)]
         if self.decode == "beam_lm":
             # n-best reranking: beam candidates rescored by the char-LM's
             # masked pseudo-log-likelihood (the reference's LM-rescoring

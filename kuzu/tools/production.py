@@ -443,14 +443,24 @@ def _jsonable(d):
 # ------------------------------------------------------------------ bench
 
 
-def production_pipeline(root: Path, decode: str = "greedy", dp: int = 0):
+def production_pipeline(
+    root: Path, decode: str = "greedy", dp: int = 0, rec: str = "rec"
+):
+    """``rec`` picks the recognizer family: ``rec`` = the AR TrOCR run,
+    ``ctc`` = the CTC CRNN run trained on the same columns (the cascade
+    routes by the run dir's args.yaml task)."""
     from kuzu.pipeline.cascade import KuzushijiPipeline
 
     root = Path(root)
+    rec_dir = (
+        root / "runs" / "ctc" / "ctc"
+        if rec == "ctc"
+        else root / "runs" / "recognize" / "rec"
+    )
     return KuzushijiPipeline(
         column_model=root / "runs" / "detect" / "col",
         char_model=root / "runs" / "detect" / "char",
-        recognizer=root / "runs" / "recognize" / "rec",
+        recognizer=rec_dir,
         lm=root / "runs" / "lm" / "lm",
         tile_grid=2,
         conf=0.25,
@@ -460,12 +470,14 @@ def production_pipeline(root: Path, decode: str = "greedy", dp: int = 0):
     )
 
 
-def bench(root: Path, pages: int = 16, reps: int = 3, dp: int = 0) -> dict:
+def bench(
+    root: Path, pages: int = 16, reps: int = 3, dp: int = 0, rec: str = "rec"
+) -> dict:
     """Production-configuration cascade pages/s (yolov12x-P2P5 char det with
     2x2 tiling + full-size TrOCR + LM rescoring), on the val pages.
     ``dp=N`` serves every stage sharded over an N-chip mesh."""
     root = Path(root)
-    pipe = production_pipeline(root, dp=int(dp))
+    pipe = production_pipeline(root, dp=int(dp), rec=rec)
     paths = sorted((root / "char/images/val").glob("*.jpg"))[:pages]
     assert paths, "run synth + train first"
     # warmup (compiles)
@@ -491,14 +503,16 @@ def bench(root: Path, pages: int = 16, reps: int = 3, dp: int = 0) -> dict:
     return res
 
 
-def profile(root: Path, pages: int = 16, reps: int = 2, dp: int = 0) -> dict:
+def profile(
+    root: Path, pages: int = 16, reps: int = 2, dp: int = 0, rec: str = "rec"
+) -> dict:
     """Differential stage timing of the production cascade: re-run
     ``process_pages`` with trailing stages successively disabled and report
     per-stage seconds. Differences of end-to-end timings survive the axon
     tunnel (no ``block_until_ready`` across it) and exercise exactly the
     production code path, so the split is what the user actually pays."""
     root = Path(root)
-    pipe = production_pipeline(root, dp=int(dp))
+    pipe = production_pipeline(root, dp=int(dp), rec=rec)
     paths = sorted((root / "char/images/val").glob("*.jpg"))[:pages]
     assert paths, "run synth + train first"
 
@@ -532,7 +546,7 @@ def profile(root: Path, pages: int = 16, reps: int = 2, dp: int = 0) -> dict:
     return res
 
 
-def quality(root: Path) -> dict:
+def quality(root: Path, rec: str = "rec") -> dict:
     """Dense-regime quality: char-detector mAP on full 1280-px val pages
     through the tiled path at max_det=2000, plus recognizer CER on held-out
     columns (the metrics scripts/evaluation.py reports)."""
@@ -542,7 +556,7 @@ def quality(root: Path) -> dict:
     from kuzu.data.tokenizer import CharTokenizer
 
     root = Path(root)
-    pipe = production_pipeline(root)
+    pipe = production_pipeline(root, rec=rec)
     dm = DetMetrics()
     for pth in sorted((root / "char/images/val").glob("*.jpg")):
         det = pipe.detect_chars(pth)
@@ -588,8 +602,9 @@ def quality(root: Path) -> dict:
         "rec_cer": cer,
         "max_det": 2000,
     }
-    if pipe.lm is not None:
+    if pipe.lm is not None and getattr(pipe, "rec_task", "recognize") != "ctc":
         # does LM n-best reranking actually correct transcripts?
+        # (CTC decodes greedily — no beam candidates to rerank)
         pipe.decode = "beam_lm"
         res["rec_cer_beam_lm"] = character_error_rate(
             pipe.recognize_crops(crops), texts
@@ -664,7 +679,7 @@ def e2e_page_quality(root: Path, pipe, max_pages: int = 8) -> dict:
     }
 
 
-def sample(root: Path, out_dir: Path | None = None) -> dict:
+def sample(root: Path, out_dir: Path | None = None, rec: str = "rec") -> dict:
     """Run the production cascade on the one real page in the environment
     (``/root/reference/data/examples/sample.jpg``) and persist YAML +
     visualization — the reference's ``scripts/inference.py`` output
@@ -674,7 +689,7 @@ def sample(root: Path, out_dir: Path | None = None) -> dict:
     out_dir.mkdir(parents=True, exist_ok=True)
     if not SAMPLE_PAGE.exists():
         raise FileNotFoundError(SAMPLE_PAGE)
-    pipe = production_pipeline(root)
+    pipe = production_pipeline(root, rec=rec)
     res = pipe.process_pages([SAMPLE_PAGE])[0]
     pipe.save_result(res, out_dir / "sample.yaml")
     _visualize(SAMPLE_PAGE, res, out_dir / "sample_viz.jpg")
@@ -731,9 +746,9 @@ def main(argv=None):
     elif cmd == "profile":
         profile(root, **kv)
     elif cmd == "quality":
-        quality(root)
+        quality(root, **kv)
     elif cmd == "sample":
-        sample(root, kv.get("out"))
+        sample(root, kv.pop("out", None), **kv)
     else:
         raise SystemExit(f"unknown command {cmd}")
 

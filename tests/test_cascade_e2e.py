@@ -321,3 +321,38 @@ def test_beam_lm_rescoring_decodes(pipeline_runs):
 
     with _pytest.raises(AssertionError, match="needs an LM"):
         bare.recognize_crops(crops)
+
+
+def test_cascade_with_ctc_recognizer(pipeline_runs, tmp_path):
+    """Pluggable recognizer family: a CTC CRNN run dir drops into the
+    cascade in place of the AR TrOCR run (routed by the run's args.yaml)."""
+    from kuzu.core.config import load_config
+    from kuzu.pipeline.cascade import KuzushijiPipeline
+    from kuzu.tasks.ctc import CTCTrainer
+
+    root = pipeline_runs["rec"].parent.parent.parent  # cascade tmp root
+    ctc_cfg = load_config(overrides=dict(
+        task="ctc", data=str(root / "ocr"), epochs=2, batch=6,
+        imgsz=[160, 40], lstm_hidden=32, max_label_length=8,
+        optimizer="adamw", lr0=0.002, warmup_epochs=0.0, workers=0,
+        dtype="float32", project=str(tmp_path / "runs"), name="ctc",
+        exist_ok=True,
+    ))
+    trainer = CTCTrainer(ctc_cfg)
+    trainer.train()
+
+    pipe = KuzushijiPipeline(
+        column_model=pipeline_runs["det"],
+        recognizer=trainer.save_dir,
+        conf=0.001,
+    )
+    assert pipe.rec_task == "ctc"
+    res = pipe.process_page(pipeline_runs["page"])
+    assert len(res["columns"]) >= 1
+    assert all(isinstance(c.get("text", ""), str) for c in res["columns"])
+
+    import pytest as _pytest
+
+    pipe.decode = "beam_lm"
+    with _pytest.raises(ValueError, match="beam_lm"):
+        pipe.recognize_crops([np.full((60, 20, 3), 200, np.uint8)])
