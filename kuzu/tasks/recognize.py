@@ -235,11 +235,34 @@ class RecognizeTrainer(BaseTrainer):
         from kuzu.tasks.base import resolve_val_batches
 
         max_batches = resolve_val_batches(self.cfg, self.val_loader, "val_gen_batches")
+        if not hasattr(self, "_tf_acc"):
+            # teacher-forced val accuracy: separates "can't read the images"
+            # (low tf_acc: overfit/underfit) from free-running decode
+            # collapse (high tf_acc, high CER: exposure bias)
+            pad = self.tokenizer.pad_id
+
+            def _tf(params, images, tokens, smask):
+                logits = self.model.apply(
+                    {"params": params}, images, tokens[:, :-1], train=False
+                )
+                targets = tokens[:, 1:]
+                m = (targets != pad).astype(jnp.float32) * smask[:, None]
+                correct = ((logits.argmax(-1) == targets) * m).sum()
+                return correct, m.sum()
+
+            self._tf_acc = jax.jit(_tf)
+        n_correct = n_tok = 0.0
         for bi, batch in enumerate(self.val_loader):
             if bi >= max_batches:
                 break
             n_real = int(batch.get("sample_mask", np.ones(len(batch["image"]))).sum())
             images = jnp.asarray(batch["image"])
+            smask = jnp.asarray(
+                batch.get("sample_mask", np.ones(len(batch["image"]))), jnp.float32
+            )
+            c, t = self._tf_acc(params, images, jnp.asarray(batch["tokens"]), smask)
+            n_correct += float(c)
+            n_tok += float(t)
             out = generate(
                 self.model,
                 params,
@@ -260,7 +283,11 @@ class RecognizeTrainer(BaseTrainer):
         cer = character_error_rate(preds, refs)
         if self.cfg.get("verbose", True) and preds:
             LOGGER.info(f"  sample: pred={preds[0]!r} ref={refs[0]!r}")
-        return {"cer": cer, "fitness": 1.0 - cer}
+        return {
+            "cer": cer,
+            "tf_acc": n_correct / max(n_tok, 1.0),
+            "fitness": 1.0 - cer,
+        }
 
 
 class RecognizePredictor:
