@@ -30,6 +30,46 @@ def sort_columns_right_to_left(boxes: np.ndarray) -> np.ndarray:
     return np.argsort(-(boxes[:, 0] + boxes[:, 2]) / 2)
 
 
+def dedup_columns(
+    boxes: np.ndarray,
+    scores: np.ndarray,
+    x_frac: float = 0.6,
+    y_frac: float = 0.6,
+) -> np.ndarray:
+    """Indices of column boxes that survive same-region suppression.
+
+    Tall thin columns produce duplicate detections that survive box-IoU
+    NMS (a partial-height duplicate of a tall column has low corner IoU
+    but reads the same text twice downstream). Walking by descending
+    score, a box is dropped when its x-interval overlaps a kept box by
+    more than ``x_frac`` of the narrower AND its y-interval by more than
+    ``y_frac`` of the shorter — "reads largely the same region". This is
+    suppression, not union-merge: the reference merges columns at ETL
+    time (``data_preprocessv2.py:699``) where GT segments are known, but
+    at inference the segments must stay separate (measured: union-merge
+    costs ~170/334 matched columns on the dense val pages, dedup costs 1
+    and removes 34/37 spurious reads — see PERFORMANCE.md).
+    """
+    order = np.argsort(-scores)
+    keep: list[int] = []
+    for i in order:
+        b = boxes[i]
+        dup = False
+        for j in keep:
+            a = boxes[j]
+            ox = min(a[2], b[2]) - max(a[0], b[0])
+            oy = min(a[3], b[3]) - max(a[1], b[1])
+            if (
+                ox > x_frac * max(min(a[2] - a[0], b[2] - b[0]), 1e-6)
+                and oy > y_frac * max(min(a[3] - a[1], b[3] - b[1]), 1e-6)
+            ):
+                dup = True
+                break
+        if not dup:
+            keep.append(i)
+    return np.array(sorted(keep), np.int64)
+
+
 def _run_task(run_dir: str | Path, default: str = "recognize") -> str:
     """Task recorded in a training run's args.yaml snapshot."""
     args = Path(str(run_dir)) / "args.yaml"
@@ -67,6 +107,10 @@ class KuzushijiPipeline:
         lm_weight: float = 0.3,  # beam_lm: score = beam + lm_weight * PLL
         dp: int = 0,  # data-parallel serving: shard every stage's batch
         # over a dp-device mesh (v5e-8 north star; core/mesh.py DataParallel)
+        col_conf: float | None = None,  # column-stage conf (default: conf);
+        # columns tolerate a much lower threshold than chars because
+        # dedup_columns removes the duplicate reads low conf lets through
+        col_dedup: bool = True,  # same-region column suppression
     ):
         from kuzu.core.config import load_config
 
@@ -78,6 +122,7 @@ class KuzushijiPipeline:
         self.num_beams = num_beams
         self.max_det = max_det
         self.lm_weight = lm_weight
+        self.col_dedup = col_dedup
         self.column_det = None
         self.char_det = None
         self.recognizer = None
@@ -88,7 +133,8 @@ class KuzushijiPipeline:
             self.column_det = DetectPredictor(
                 load_config(
                     overrides={
-                        "model": str(column_model), "conf": conf,
+                        "model": str(column_model),
+                        "conf": conf if col_conf is None else col_conf,
                         "dp": self.dp,
                     }
                 )
@@ -130,11 +176,25 @@ class KuzushijiPipeline:
 
     # ------------------------------------------------------------ stages
     def detect_columns(self, image_path: str | Path) -> dict[str, np.ndarray]:
+        """Columns are page-scale objects: always detect on the full page.
+
+        ``tile_grid`` applies only to *character* detection — tiling the
+        column stage would cut every tall column into per-tile fragments
+        (the batched path ``_process_pages_tiled`` already detected columns
+        full-page; this keeps ``process_page`` consistent with it)."""
         assert self.column_det is not None, "no column model configured"
-        if self.tile_grid > 1:
-            return self._detect_tiled(self.column_det, image_path)
         r = self.column_det([image_path])[0]
-        return {k: r[k] for k in ("boxes", "scores", "classes")}
+        return self._dedup({k: r[k] for k in ("boxes", "scores", "classes")})
+
+    def _dedup(self, det) -> dict:
+        """Same-region column suppression (``dedup_columns``) on one
+        detection (dict or Results — both index by key); returns a plain
+        dict of boxes/scores/classes. No-op when ``col_dedup`` is off."""
+        out = {k: np.asarray(det[k]) for k in ("boxes", "scores", "classes")}
+        if not self.col_dedup or len(out["boxes"]) == 0:
+            return out
+        keep = dedup_columns(out["boxes"], out["scores"])
+        return {k: v[keep] for k, v in out.items()}
 
     def detect_chars(self, image_path: str | Path) -> dict[str, np.ndarray]:
         assert self.char_det is not None, "no char model configured"
@@ -362,6 +422,16 @@ class KuzushijiPipeline:
         max_len = self.lm.max_len
         ids = np.stack([tok.encode(t, max_length=max_len) for t in texts])
         lens = (ids != tok.pad_id).sum(1).astype(np.int32)
+        # bucket the SEQUENCE length too: the scan masks one position per
+        # step, so trailing pad columns cost a full MLM forward each.
+        # Column texts run ~15-20 chars; cutting 128 -> 32 drops both the
+        # scan trip count and the per-forward attention width (~10x less
+        # work), while the (batch, length) bucket pair keeps compiles
+        # reusable across calls.
+        from kuzu.data.loader import next_bucket as _nb
+
+        L = min(_nb(int(lens.max()), min_bucket=16), max_len)
+        ids = ids[:, :L]
 
         fn = getattr(self, "_rescore_fn", None)
         if fn is None:
@@ -398,7 +468,7 @@ class KuzushijiPipeline:
 
         t = len(texts)
         tp = next_bucket(t, min_bucket=_bucket_floor(self.lm))
-        ids_p = np.zeros((tp, max_len), ids.dtype)
+        ids_p = np.zeros((tp, ids.shape[1]), ids.dtype)
         ids_p[:t] = ids
         lens_p = np.zeros((tp,), np.int32)
         lens_p[:t] = lens
@@ -466,7 +536,9 @@ class KuzushijiPipeline:
         if self.tile_grid > 1:
             return self._process_pages_tiled(image_paths)
         assert self.column_det is not None, "no column model configured"
-        detections = self.column_det(list(image_paths))  # one batched forward
+        detections = [
+            self._dedup(d) for d in self.column_det(list(image_paths))
+        ]  # one batched forward
         results: list[dict] = []
         all_crops: list[np.ndarray] = []
         crop_spans: list[tuple[int, int]] = []
@@ -533,7 +605,9 @@ class KuzushijiPipeline:
             cv2.cvtColor(cv2.imread(str(p)), cv2.COLOR_BGR2RGB)
             for p in image_paths
         ]
-        col_dets = self.column_det(list(image_paths))  # batched full pages
+        col_dets = [
+            self._dedup(d) for d in self.column_det(list(image_paths))
+        ]  # batched full pages
 
         # characters: all pages' tiles through one forward
         char_pages: list[dict] | None = None

@@ -464,6 +464,11 @@ def production_pipeline(
         lm=root / "runs" / "lm" / "lm",
         tile_grid=2,
         conf=0.25,
+        # column stage: low conf + same-region dedup. Swept on the dense
+        # val pages (probe, PERFORMANCE.md): conf 0.25 -> 291/334 columns
+        # matched + 37 duplicate reads; col_conf 0.05 + dedup -> 317
+        # matched / 3 spurious.
+        col_conf=0.05,
         decode=decode,
         max_det=2000,
         dp=dp,  # multi-chip serving (v5e-8): shard every stage's batch

@@ -147,10 +147,12 @@ def test_cascade_end_to_end(pipeline_runs):
 def test_cascade_tiled_detection(pipeline_runs):
     from kuzu.pipeline.cascade import KuzushijiPipeline
 
+    # tiling applies to the *character* stage (columns are page-scale and
+    # always detect full-page — tiling would fragment them)
     pipe = KuzushijiPipeline(
-        column_model=pipeline_runs["det"], conf=0.001, tile_grid=2
+        char_model=pipeline_runs["det"], conf=0.001, tile_grid=2
     )
-    dets = pipe.detect_columns(pipeline_runs["page"])
+    dets = pipe.detect_chars(pipeline_runs["page"])
     assert dets["boxes"].shape[1] == 4
     # merged page-frame boxes stay within the page
     if len(dets["boxes"]):
@@ -163,6 +165,51 @@ def test_cascade_column_ordering():
     boxes = np.array([[10.0, 0, 40, 100], [150, 0, 180, 100], [80, 0, 110, 100]])
     order = sort_columns_right_to_left(boxes)
     np.testing.assert_array_equal(order, [1, 2, 0])
+
+
+def test_column_dedup_suppresses_same_region():
+    """A partial-height duplicate of a tall column survives box-IoU NMS
+    (corner IoU ~0.4) but must not be read twice; distinct vertical
+    segments of the same x-band must BOTH survive (union-merge would
+    destroy them — measured on the production val pages)."""
+    from kuzu.pipeline.cascade import dedup_columns
+
+    boxes = np.array(
+        [
+            [100.0, 0, 140, 400],  # tall column, high conf
+            [102.0, 20, 141, 180],  # partial-height duplicate -> dropped
+            [100.0, 420, 140, 600],  # separate lower segment -> kept
+            [300.0, 0, 340, 400],  # different column -> kept
+        ]
+    )
+    scores = np.array([0.9, 0.3, 0.8, 0.7])
+    keep = dedup_columns(boxes, scores)
+    np.testing.assert_array_equal(keep, [0, 2, 3])
+    # score order decides the survivor: flip confidences and the partial
+    # box wins over the tall one
+    keep2 = dedup_columns(boxes, np.array([0.2, 0.9, 0.8, 0.7]))
+    assert 1 in keep2 and 0 not in keep2
+
+
+def test_pipeline_dedup_wired(pipeline_runs):
+    """col_dedup drops duplicate column reads end-to-end: with dedup off a
+    conf-0.001 detector emits overlapping boxes; on, every surviving pair
+    fails the same-region rule."""
+    from kuzu.pipeline.cascade import KuzushijiPipeline, dedup_columns
+
+    pipe = KuzushijiPipeline(
+        column_model=pipeline_runs["det"], conf=0.001, col_dedup=True
+    )
+    det = pipe.detect_columns(pipeline_runs["page"])
+    n = len(det["boxes"])
+    if n > 1:
+        keep = dedup_columns(np.asarray(det["boxes"]), np.asarray(det["scores"]))
+        assert len(keep) == n  # already deduped -> idempotent
+    off = KuzushijiPipeline(
+        column_model=pipeline_runs["det"], conf=0.001, col_dedup=False
+    )
+    det_off = off.detect_columns(pipeline_runs["page"])
+    assert len(det_off["boxes"]) >= n
 
 
 def test_cascade_batched_pages(pipeline_runs, tmp_path):
