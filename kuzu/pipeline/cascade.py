@@ -34,7 +34,7 @@ def dedup_columns(
     boxes: np.ndarray,
     scores: np.ndarray,
     x_frac: float = 0.6,
-    y_frac: float = 0.6,
+    y_frac: float = 0.45,
 ) -> np.ndarray:
     """Indices of column boxes that survive same-region suppression.
 
@@ -47,8 +47,9 @@ def dedup_columns(
     suppression, not union-merge: the reference merges columns at ETL
     time (``data_preprocessv2.py:699``) where GT segments are known, but
     at inference the segments must stay separate (measured: union-merge
-    costs ~170/334 matched columns on the dense val pages, dedup costs 1
-    and removes 34/37 spurious reads — see PERFORMANCE.md).
+    costs ~170/334 matched columns on the dense val pages; this rule at
+    conf 0.002 keeps 330/334 matched with 3 spurious — the (0.6, 0.45)
+    fractions swept on cached detections, see PERFORMANCE.md).
     """
     order = np.argsort(-scores)
     keep: list[int] = []
@@ -68,6 +69,70 @@ def dedup_columns(
         if not dup:
             keep.append(i)
     return np.array(sorted(keep), np.int64)
+
+
+def refine_columns_by_chars(
+    col_boxes: np.ndarray,  # (C, 4) xyxy
+    char_boxes: np.ndarray,  # (K, 4) xyxy, full-page frame
+    pad: float = 4.0,
+    gap_frac: float = 1.0,
+    min_chars: int = 1,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Snap column boxes to their character-detection support.
+
+    The column detector localizes the segment roughly (a partial-height
+    box can match GT at IoU 0.5 yet crop away 30% of the text — measured:
+    GT-box crops read at CER 0.031 while detected-box crops read at 0.096,
+    so box *extent* is the matched-column error, not crop margins). The
+    char detector is near-perfect (mAP50 0.995), so each column snaps to
+    the chars it actually contains: chars whose center-x falls in the
+    column's x-band are merged bottom-up into vertical segments (split
+    where the inter-char gap exceeds ``gap_frac`` x the band's median char
+    height — intra-column gaps are a few px, inter-segment gaps tens), the
+    column takes the segment it overlaps most, and its box becomes that
+    segment's char union +- ``pad`` (the training-crop convention).
+    Columns with no char support are dropped (keep mask False): nothing
+    to read. Returns (refined (C, 4), keep (C,) bool).
+    """
+    col_boxes = np.asarray(col_boxes, np.float64)
+    refined = col_boxes.copy()
+    keep = np.zeros(len(col_boxes), bool)
+    if len(char_boxes) == 0:
+        return refined, keep
+    ch = np.asarray(char_boxes, np.float64)
+    cx = (ch[:, 0] + ch[:, 2]) / 2
+    for i, (x1, y1, x2, y2) in enumerate(col_boxes):
+        band = np.where((cx >= x1) & (cx <= x2))[0]
+        if len(band) < min_chars:
+            continue
+        b = ch[band]
+        gap = gap_frac * float(np.median(b[:, 3] - b[:, 1]))
+        order = np.argsort(b[:, 1])
+        b = b[order]
+        # merge sorted chars into vertical segments
+        segs: list[list[float]] = []  # [y_lo, y_hi, x_lo, x_hi, count]
+        for bx1, by1, bx2, by2 in b:
+            if segs and by1 - segs[-1][1] <= gap:
+                s = segs[-1]
+                s[1] = max(s[1], by2)
+                s[2] = min(s[2], bx1)
+                s[3] = max(s[3], bx2)
+                s[4] += 1
+            else:
+                segs.append([by1, by2, bx1, bx2, 1])
+        # the segment this column overlaps most, vertically
+        best, best_ov = None, 0.0
+        for s in segs:
+            ov = min(s[1], y2) - max(s[0], y1)
+            if ov > best_ov:
+                best, best_ov = s, ov
+        if best is None or best[4] < min_chars:
+            continue
+        refined[i] = [
+            best[2] - pad, best[0] - pad, best[3] + pad, best[1] + pad,
+        ]
+        keep[i] = True
+    return refined, keep
 
 
 def _run_task(run_dir: str | Path, default: str = "recognize") -> str:
@@ -111,6 +176,8 @@ class KuzushijiPipeline:
         # columns tolerate a much lower threshold than chars because
         # dedup_columns removes the duplicate reads low conf lets through
         col_dedup: bool = True,  # same-region column suppression
+        col_refine: bool = True,  # snap column boxes to char-detection
+        # support (tiled batched path; refine_columns_by_chars)
     ):
         from kuzu.core.config import load_config
 
@@ -123,6 +190,7 @@ class KuzushijiPipeline:
         self.max_det = max_det
         self.lm_weight = lm_weight
         self.col_dedup = col_dedup
+        self.col_refine = col_refine
         self.column_det = None
         self.char_det = None
         self.recognizer = None
@@ -598,7 +666,10 @@ class KuzushijiPipeline:
         import jax.numpy as jnp
 
         from kuzu.data.loader import next_bucket
-        from kuzu.pipeline.tiling import merge_tile_detections, tile_image
+        from kuzu.pipeline.tiling import (
+            merge_tile_detections_pages,
+            tile_image,
+        )
 
         assert self.column_det is not None, "no column model configured"
         images = [
@@ -635,18 +706,39 @@ class KuzushijiPipeline:
                 )
             out = self.char_det._fwd(stack)
             out = {k: np.asarray(v) for k, v in out.items()}
-            char_pages = []
-            for img, (lo, hi) in zip(images, spans):
-                per_tile = [
-                    {k: out[k][i] for k in ("boxes", "scores", "classes", "valid")}
-                    for i in range(lo, hi)
-                ]
-                char_pages.append(
-                    merge_tile_detections(
-                        per_tile, metas_all[lo:hi], page_shape=img.shape[:2],
-                        max_det=self.max_det,
+            # cross-tile NMS for ALL pages in one device call (a per-page
+            # dispatch costs a fixed tunnel round-trip each)
+            char_pages = merge_tile_detections_pages(
+                [
+                    [
+                        {
+                            k: out[k][i]
+                            for k in ("boxes", "scores", "classes", "valid")
+                        }
+                        for i in range(lo, hi)
+                    ]
+                    for lo, hi in spans
+                ],
+                [metas_all[lo:hi] for lo, hi in spans],
+                page_shapes=[img.shape[:2] for img in images],
+                max_det=self.max_det,
+            )
+            if self.col_refine:
+                # snap each column to its char support; refined duplicates
+                # collapse onto the same segment, so dedup again
+                for pi, det in enumerate(col_dets):
+                    boxes = np.asarray(det["boxes"])
+                    if not len(boxes):
+                        continue
+                    ref, ok = refine_columns_by_chars(
+                        boxes, np.asarray(char_pages[pi]["boxes"])
                     )
-                )
+                    det = {
+                        "boxes": ref[ok],
+                        "scores": np.asarray(det["scores"])[ok],
+                        "classes": np.asarray(det["classes"])[ok],
+                    }
+                    col_dets[pi] = self._dedup(det)
 
         results: list[dict] = []
         all_crops: list[np.ndarray] = []

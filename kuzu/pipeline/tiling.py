@@ -88,18 +88,12 @@ def _nms_bucket(n: int) -> int:
     return int(2 ** int(np.ceil(np.log2(n))))
 
 
-def merge_tile_detections(
-    per_tile: list[dict],  # each: {boxes (K,4), scores (K,), classes (K,), valid (K,)}
+def _tiles_to_page_frame(
+    per_tile: list[dict],
     metas: list[dict],
-    iou_thres: float = 0.55,
-    max_det: int = 2000,
-    page_shape: tuple[int, int] | None = None,  # (h, w) to clip into
-) -> dict[str, np.ndarray]:
-    """Per-tile padded detections -> page frame -> cross-tile NMS."""
-    import jax.numpy as jnp
-
-    from kuzu.ops.nms import nms_padded
-
+    page_shape: tuple[int, int] | None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Undo each tile's letterbox and offset; concat valid candidates."""
     all_boxes, all_scores, all_classes = [], [], []
     for det, meta in zip(per_tile, metas):
         v = np.asarray(det["valid"], bool)
@@ -116,25 +110,78 @@ def merge_tile_detections(
         all_scores.append(np.asarray(det["scores"])[v])
         all_classes.append(np.asarray(det["classes"])[v])
     if not all_boxes or sum(len(b) for b in all_boxes) == 0:
-        return {
-            "boxes": np.zeros((0, 4), np.float32),
-            "scores": np.zeros((0,), np.float32),
-            "classes": np.zeros((0,), np.int32),
-        }
-    boxes = np.concatenate(all_boxes).astype(np.float32)
-    scores = np.concatenate(all_scores).astype(np.float32)
-    classes = np.concatenate(all_classes).astype(np.int32)
-    n = len(boxes)
-    # pad candidates to a static bucket size so the jitted NMS sees a few
-    # stable shapes instead of recompiling for every page's candidate count
-    m = _nms_bucket(n)
-    pad = m - n
-    boxes = np.pad(boxes, ((0, pad), (0, 0)))
-    scores = np.pad(scores, (0, pad))
-    classes = np.pad(classes, (0, pad))
-    valid = np.zeros((m,), bool)
-    valid[:n] = True
-    ob, os_, oc, ov = nms_padded(
+        return (
+            np.zeros((0, 4), np.float32),
+            np.zeros((0,), np.float32),
+            np.zeros((0,), np.int32),
+        )
+    return (
+        np.concatenate(all_boxes).astype(np.float32),
+        np.concatenate(all_scores).astype(np.float32),
+        np.concatenate(all_classes).astype(np.int32),
+    )
+
+
+def merge_tile_detections(
+    per_tile: list[dict],  # each: {boxes (K,4), scores (K,), classes (K,), valid (K,)}
+    metas: list[dict],
+    iou_thres: float = 0.55,
+    max_det: int = 2000,
+    page_shape: tuple[int, int] | None = None,  # (h, w) to clip into
+) -> dict[str, np.ndarray]:
+    """Per-tile padded detections -> page frame -> cross-tile NMS."""
+    return merge_tile_detections_pages(
+        [per_tile], [metas], iou_thres=iou_thres, max_det=max_det,
+        page_shapes=None if page_shape is None else [page_shape],
+    )[0]
+
+
+def merge_tile_detections_pages(
+    per_tile_by_page: list[list[dict]],
+    metas_by_page: list[list[dict]],
+    iou_thres: float = 0.55,
+    max_det: int = 2000,
+    page_shapes: list[tuple[int, int]] | None = None,
+) -> list[dict[str, np.ndarray]]:
+    """Cross-tile NMS for a whole page batch in ONE device call.
+
+    The per-page variant dispatches one jitted NMS per page — through the
+    device tunnel that is a fixed ~25 ms round-trip each, which dominated
+    the tiled char-det stage at production scale (12 sequential dispatches).
+    Here every page's candidates pad to one shared bucket and go through a
+    single ``nms_padded_batch`` (the Pallas suppress kernel is batched over
+    its grid's batch dimension already)."""
+    import jax.numpy as jnp
+
+    from kuzu.ops.nms import nms_padded_batch
+
+    pages = [
+        _tiles_to_page_frame(
+            pt, mt, None if page_shapes is None else page_shapes[i]
+        )
+        for i, (pt, mt) in enumerate(zip(per_tile_by_page, metas_by_page))
+    ]
+    counts = [len(b) for b, _, _ in pages]
+    empty = {
+        "boxes": np.zeros((0, 4), np.float32),
+        "scores": np.zeros((0,), np.float32),
+        "classes": np.zeros((0,), np.int32),
+    }
+    if max(counts, default=0) == 0:
+        return [dict(empty) for _ in pages]
+    # one shared candidate bucket across the batch: stable jit shapes
+    m = _nms_bucket(max(counts))
+    bs = len(pages)
+    boxes = np.zeros((bs, m, 4), np.float32)
+    scores = np.zeros((bs, m), np.float32)
+    classes = np.zeros((bs, m), np.int32)
+    valid = np.zeros((bs, m), bool)
+    for i, (b, s, c) in enumerate(pages):
+        boxes[i, : len(b)] = b
+        scores[i, : len(b)] = s
+        classes[i, : len(b)] = c
+        valid[i, : len(b)] = True
+    ob, os_, oc, ov = nms_padded_batch(
         jnp.asarray(boxes),
         jnp.asarray(scores),
         jnp.asarray(classes),
@@ -144,9 +191,10 @@ def merge_tile_detections(
         max_det=min(max_det, m),
         max_nms=m,
     )
-    ov = np.asarray(ov)
-    return {
-        "boxes": np.asarray(ob)[ov],
-        "scores": np.asarray(os_)[ov],
-        "classes": np.asarray(oc)[ov],
-    }
+    ob, os_, oc, ov = (np.asarray(x) for x in (ob, os_, oc, ov))
+    return [
+        {"boxes": ob[i][ov[i]], "scores": os_[i][ov[i]], "classes": oc[i][ov[i]]}
+        if counts[i]
+        else dict(empty)
+        for i in range(bs)
+    ]

@@ -444,7 +444,11 @@ def _jsonable(d):
 
 
 def production_pipeline(
-    root: Path, decode: str = "greedy", dp: int = 0, rec: str = "rec"
+    root: Path,
+    decode: str = "greedy",
+    dp: int = 0,
+    rec: str = "rec",
+    col_conf: float = 0.002,
 ):
     """``rec`` picks the recognizer family: ``rec`` = the AR TrOCR run,
     ``ctc`` = the CTC CRNN run trained on the same columns (the cascade
@@ -465,10 +469,11 @@ def production_pipeline(
         tile_grid=2,
         conf=0.25,
         # column stage: low conf + same-region dedup. Swept on the dense
-        # val pages (probe, PERFORMANCE.md): conf 0.25 -> 291/334 columns
-        # matched + 37 duplicate reads; col_conf 0.05 + dedup -> 317
-        # matched / 3 spurious.
-        col_conf=0.05,
+        # val pages (probe_col_match/probe_col_miss, PERFORMANCE.md):
+        # conf 0.25 -> 291/334 columns matched + 37 duplicate reads;
+        # 0.05 + dedup -> 317/3; 0.002 + dedup -> 331/8 (well-localized
+        # columns score as low as 0.002 — dedup handles the junk).
+        col_conf=col_conf,
         decode=decode,
         max_det=2000,
         dp=dp,  # multi-chip serving (v5e-8): shard every stage's batch
@@ -551,7 +556,7 @@ def profile(
     return res
 
 
-def quality(root: Path, rec: str = "rec") -> dict:
+def quality(root: Path, rec: str = "rec", col_conf: float = 0.002) -> dict:
     """Dense-regime quality: char-detector mAP on full 1280-px val pages
     through the tiled path at max_det=2000, plus recognizer CER on held-out
     columns (the metrics scripts/evaluation.py reports)."""
@@ -561,7 +566,7 @@ def quality(root: Path, rec: str = "rec") -> dict:
     from kuzu.data.tokenizer import CharTokenizer
 
     root = Path(root)
-    pipe = production_pipeline(root, rec=rec)
+    pipe = production_pipeline(root, rec=rec, col_conf=col_conf)
     dm = DetMetrics()
     for pth in sorted((root / "char/images/val").glob("*.jpg")):
         det = pipe.detect_chars(pth)
@@ -648,6 +653,7 @@ def e2e_page_quality(root: Path, pipe, max_pages: int = 8) -> dict:
     paths = [root / "col/images/val" / p for p in pages]
     results = pipe.process_pages(paths)
     edits = gt_chars = matched = n_gt = n_spurious = 0
+    m_edits = m_chars = miss_chars = spur_chars = 0
     for page, res in zip(pages, results):
         gt = gt_by_page[page]
         gt_boxes = np.stack([b for b, _ in gt])
@@ -670,17 +676,30 @@ def e2e_page_quality(root: Path, pipe, max_pages: int = 8) -> dict:
             iou[:, p] = -1
             used[p] = taken[g] = True
             matched += 1
-            edits += levenshtein(pred[p].get("text", ""), gt[g][1])
-        edits += sum(len(t) for (_, t), tk in zip(gt, taken) if not tk)
+            e = levenshtein(pred[p].get("text", ""), gt[g][1])
+            edits += e
+            m_edits += e
+            m_chars += len(gt[g][1])
+        miss = sum(len(t) for (_, t), tk in zip(gt, taken) if not tk)
+        edits += miss
+        miss_chars += miss
         spurious = [c for c, u in zip(pred, used) if not u]
         n_spurious += len(spurious)
-        edits += sum(len(c.get("text", "")) for c in spurious)
+        spur = sum(len(c.get("text", "")) for c in spurious)
+        edits += spur
+        spur_chars += spur
     return {
         "e2e_cer": edits / max(gt_chars, 1),
         "e2e_columns_matched": matched,
         "e2e_columns_gt": n_gt,
         "e2e_columns_spurious": n_spurious,
         "e2e_pages": len(pages),
+        # error budget: where the edits come from (all /gt_chars except
+        # matched_cer, which is /matched-gt-chars — recognition quality
+        # on *detected* crops, directly comparable to rec_cer on GT crops)
+        "e2e_matched_cer": m_edits / max(m_chars, 1),
+        "e2e_missed_frac": miss_chars / max(gt_chars, 1),
+        "e2e_spurious_frac": spur_chars / max(gt_chars, 1),
     }
 
 

@@ -191,6 +191,33 @@ def test_column_dedup_suppresses_same_region():
     assert 1 in keep2 and 0 not in keep2
 
 
+def test_refine_columns_by_chars():
+    """A partial-height column box snaps to its full char segment; the
+    snap stops at the inter-segment gap; unsupported columns drop; two
+    partials over one segment collapse to the same box (then dedup)."""
+    from kuzu.pipeline.cascade import dedup_columns, refine_columns_by_chars
+
+    seg1 = [(100.0, y, 130.0, y + 20) for y in range(10, 200, 24)]
+    seg2 = [(100.0, y, 130.0, y + 20) for y in range(290, 432, 24)]
+    chars = np.array(seg1 + seg2)
+    cols = np.array(
+        [
+            [98.0, 5, 132, 120],  # partial over segment 1
+            [98.0, 285, 132, 430],  # covers segment 2
+            [300.0, 10, 340, 200],  # no char support
+            [98.0, 90, 132, 200],  # second partial over segment 1
+        ]
+    )
+    ref, keep = refine_columns_by_chars(cols, chars)
+    assert keep.tolist() == [True, True, False, True]
+    np.testing.assert_allclose(ref[0], [96, 6, 134, 202])  # full segment 1
+    assert ref[0][3] < 285  # does not cross the inter-segment gap
+    np.testing.assert_allclose(ref[1], [96, 286, 134, 434])
+    np.testing.assert_allclose(ref[3], ref[0])  # same segment, same box
+    k = dedup_columns(ref[keep], np.array([0.9, 0.8, 0.3]))
+    assert len(k) == 2  # the collapsed duplicate is suppressed
+
+
 def test_pipeline_dedup_wired(pipeline_runs):
     """col_dedup drops duplicate column reads end-to-end: with dedup off a
     conf-0.001 detector emits overlapping boxes; on, every surviving pair

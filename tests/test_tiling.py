@@ -70,6 +70,45 @@ def test_merge_tile_detections_dedups_overlap():
     assert merged["scores"][0] == 0.9
 
 
+def test_merge_pages_batched_equals_per_page():
+    """One nms_padded_batch call over the page batch must reproduce the
+    per-page merge exactly (incl. a page with zero candidates)."""
+    from kuzu.pipeline.tiling import merge_tile_detections_pages
+
+    rng = np.random.default_rng(3)
+    metas = [
+        {"origin": (0, 0), "gain": 1.0, "pad": (0, 0)},
+        {"origin": (50, 0), "gain": 1.0, "pad": (0, 0)},
+    ]
+    pages, page_metas = [], []
+    for p in range(3):
+        per_tile = []
+        for _ in metas:
+            n = 0 if p == 1 else 6
+            xy = rng.uniform(0, 60, (n, 2))
+            wh = rng.uniform(5, 20, (n, 2))
+            per_tile.append(
+                {
+                    "boxes": np.concatenate([xy, xy + wh], 1),
+                    "scores": rng.uniform(0.1, 1.0, n),
+                    "classes": np.zeros(n, int),
+                    "valid": np.ones(n, bool),
+                }
+            )
+        pages.append(per_tile)
+        page_metas.append(metas)
+    batched = merge_tile_detections_pages(
+        pages, page_metas, iou_thres=0.5, page_shapes=[(100, 120)] * 3
+    )
+    for per_tile, m, got in zip(pages, page_metas, batched):
+        want = merge_tile_detections(
+            per_tile, m, iou_thres=0.5, page_shape=(100, 120)
+        )
+        for k in ("boxes", "scores", "classes"):
+            np.testing.assert_allclose(got[k], want[k], atol=1e-6)
+    assert len(batched[1]["boxes"]) == 0
+
+
 def test_merge_empty():
     metas = [{"origin": (0, 0), "gain": 1.0, "pad": (0, 0)}]
     det = {
