@@ -107,32 +107,105 @@ def refine_columns_by_chars(
             continue
         b = ch[band]
         gap = gap_frac * float(np.median(b[:, 3] - b[:, 1]))
-        order = np.argsort(b[:, 1])
-        b = b[order]
-        # merge sorted chars into vertical segments
-        segs: list[list[float]] = []  # [y_lo, y_hi, x_lo, x_hi, count]
-        for bx1, by1, bx2, by2 in b:
-            if segs and by1 - segs[-1][1] <= gap:
-                s = segs[-1]
-                s[1] = max(s[1], by2)
-                s[2] = min(s[2], bx1)
-                s[3] = max(s[3], bx2)
-                s[4] += 1
-            else:
-                segs.append([by1, by2, bx1, bx2, 1])
+        segs = _char_segments(b, gap)
         # the segment this column overlaps most, vertically
         best, best_ov = None, 0.0
         for s in segs:
             ov = min(s[1], y2) - max(s[0], y1)
             if ov > best_ov:
                 best, best_ov = s, ov
-        if best is None or best[4] < min_chars:
+        if best is None or len(best[4]) < min_chars:
             continue
         refined[i] = [
             best[2] - pad, best[0] - pad, best[3] + pad, best[1] + pad,
         ]
         keep[i] = True
     return refined, keep
+
+
+def _char_segments(boxes: np.ndarray, gap: float) -> list[list]:
+    """Merge char boxes (any order) into vertical segments: consecutive
+    y-sorted chars join one segment while the inter-char gap stays within
+    ``gap``. Returns [y_lo, y_hi, x_lo, x_hi, member_row_indices] per
+    segment (rows index into ``boxes``)."""
+    segs: list[list] = []
+    for i in np.argsort(boxes[:, 1]):
+        bx1, by1, bx2, by2 = boxes[i]
+        if segs and by1 - segs[-1][1] <= gap:
+            s = segs[-1]
+            s[1] = max(s[1], by2)
+            s[2] = min(s[2], bx1)
+            s[3] = max(s[3], bx2)
+            s[4].append(i)
+        else:
+            segs.append([by1, by2, bx1, bx2, [i]])
+    return segs
+
+
+def columns_from_orphan_chars(
+    char_boxes: np.ndarray,  # (K, 4) xyxy
+    char_scores: np.ndarray,  # (K,)
+    col_boxes: np.ndarray,  # (C, 4) kept columns; orphans lie outside these
+    pad: float = 4.0,
+    gap_frac: float = 1.0,
+    min_chars: int = 2,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Synthesize column boxes for char detections no column claims.
+
+    The column detector can miss a segment outright (never proposed at any
+    confidence) while the char detector still reads every glyph in it.
+    Chars whose center falls inside no kept column are grouped into
+    x-bands (greedy: a char joins a band when its x-interval overlaps the
+    band by half the narrower width — a column's chars stack at nearly
+    equal x), each band splits into vertical segments by the same
+    median-height gap rule as ``refine_columns_by_chars``, and every
+    segment with at least ``min_chars`` support becomes a column whose
+    score is its chars' mean detection score. Returns (boxes (N, 4),
+    scores (N,)); the caller dedups against the kept columns.
+    """
+    ch = np.asarray(char_boxes, np.float64)
+    sc = np.asarray(char_scores, np.float64)
+    empty = np.zeros((0, 4), np.float64), np.zeros((0,), np.float64)
+    if len(ch) == 0:
+        return empty
+    cx = (ch[:, 0] + ch[:, 2]) / 2
+    cy = (ch[:, 1] + ch[:, 3]) / 2
+    orphan = np.ones(len(ch), bool)
+    for x1, y1, x2, y2 in np.asarray(col_boxes, np.float64):
+        orphan &= ~((cx >= x1) & (cx <= x2) & (cy >= y1) & (cy <= y2))
+    if orphan.sum() < min_chars:
+        return empty
+    ch, sc = ch[orphan], sc[orphan]
+    # x-band grouping
+    bands: list[list[float]] = []  # [x_lo, x_hi, member indices...]
+    members: list[list[int]] = []
+    for i in np.argsort(ch[:, 0]):
+        x1, _, x2, _ = ch[i]
+        placed = False
+        for b, m in zip(bands, members):
+            ov = min(b[1], x2) - max(b[0], x1)
+            if ov >= 0.5 * min(b[1] - b[0], x2 - x1):
+                b[0], b[1] = min(b[0], x1), max(b[1], x2)
+                m.append(i)
+                placed = True
+                break
+        if not placed:
+            bands.append([x1, x2])
+            members.append([i])
+    boxes, scores = [], []
+    for m in members:
+        if len(m) < min_chars:
+            continue
+        b = ch[m]
+        gap = gap_frac * float(np.median(b[:, 3] - b[:, 1]))
+        for s in _char_segments(b, gap):
+            if len(s[4]) < min_chars:
+                continue
+            boxes.append([s[2] - pad, s[0] - pad, s[3] + pad, s[1] + pad])
+            scores.append(float(np.mean(sc[np.asarray(m)[s[4]]])))
+    if not boxes:
+        return empty
+    return np.asarray(boxes, np.float64), np.asarray(scores, np.float64)
 
 
 def _run_task(run_dir: str | Path, default: str = "recognize") -> str:
@@ -178,6 +251,8 @@ class KuzushijiPipeline:
         col_dedup: bool = True,  # same-region column suppression
         col_refine: bool = True,  # snap column boxes to char-detection
         # support (tiled batched path; refine_columns_by_chars)
+        col_recover: bool = True,  # synthesize columns for char segments
+        # no column claims (columns_from_orphan_chars; needs col_refine)
     ):
         from kuzu.core.config import load_config
 
@@ -191,6 +266,7 @@ class KuzushijiPipeline:
         self.lm_weight = lm_weight
         self.col_dedup = col_dedup
         self.col_refine = col_refine
+        self.col_recover = col_recover
         self.column_det = None
         self.char_det = None
         self.recognizer = None
@@ -728,17 +804,43 @@ class KuzushijiPipeline:
                 # collapse onto the same segment, so dedup again
                 for pi, det in enumerate(col_dets):
                     boxes = np.asarray(det["boxes"])
-                    if not len(boxes):
-                        continue
-                    ref, ok = refine_columns_by_chars(
-                        boxes, np.asarray(char_pages[pi]["boxes"])
-                    )
-                    det = {
-                        "boxes": ref[ok],
-                        "scores": np.asarray(det["scores"])[ok],
-                        "classes": np.asarray(det["classes"])[ok],
-                    }
-                    col_dets[pi] = self._dedup(det)
+                    cb = np.asarray(char_pages[pi]["boxes"])
+                    if len(boxes):
+                        ref, ok = refine_columns_by_chars(boxes, cb)
+                        det = self._dedup(
+                            {
+                                "boxes": ref[ok],
+                                "scores": np.asarray(det["scores"])[ok],
+                                "classes": np.asarray(det["classes"])[ok],
+                            }
+                        )
+                    if self.col_recover and len(cb):
+                        # char segments no column claims become columns —
+                        # the column head can miss a segment outright while
+                        # the char head still reads every glyph in it
+                        ob, osc = columns_from_orphan_chars(
+                            cb,
+                            np.asarray(char_pages[pi]["scores"]),
+                            np.asarray(det["boxes"]),
+                        )
+                        if len(ob):
+                            det = self._dedup(
+                                {
+                                    "boxes": np.concatenate(
+                                        [np.asarray(det["boxes"]), ob]
+                                    ),
+                                    "scores": np.concatenate(
+                                        [np.asarray(det["scores"]), osc]
+                                    ),
+                                    "classes": np.concatenate(
+                                        [
+                                            np.asarray(det["classes"]),
+                                            np.zeros(len(ob), np.int32),
+                                        ]
+                                    ),
+                                }
+                            )
+                    col_dets[pi] = det
 
         results: list[dict] = []
         all_crops: list[np.ndarray] = []

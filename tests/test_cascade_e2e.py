@@ -218,6 +218,32 @@ def test_refine_columns_by_chars():
     assert len(k) == 2  # the collapsed duplicate is suppressed
 
 
+def test_columns_from_orphan_chars():
+    """Char segments outside every kept column become columns (score =
+    mean char score); chars already claimed, lone chars, and neighbours in
+    a different x-band stay out."""
+    from kuzu.pipeline.cascade import columns_from_orphan_chars
+
+    claimed = [(100.0, y, 130.0, y + 20) for y in range(10, 200, 24)]
+    missed = [(200.0, y, 228.0, y + 20) for y in range(10, 150, 24)]
+    lone = [(300.0, 10, 330.0, 30)]  # min_chars=2 filters it
+    chars = np.array(claimed + missed + lone)
+    scores = np.concatenate(
+        [np.full(len(claimed), 0.9), np.full(len(missed), 0.8), [0.7]]
+    )
+    cols = np.array([[96.0, 6, 134, 202]])  # claims the first band only
+    ob, osc = columns_from_orphan_chars(chars, scores, cols)
+    assert ob.shape == (1, 4)
+    # covers the missed band's char union +-4
+    np.testing.assert_allclose(ob[0], [196, 6, 232, 154])
+    np.testing.assert_allclose(osc, [0.8])
+    # nothing orphaned -> empty
+    ob2, _ = columns_from_orphan_chars(
+        np.array(claimed), np.full(len(claimed), 0.9), cols
+    )
+    assert len(ob2) == 0
+
+
 def test_pipeline_dedup_wired(pipeline_runs):
     """col_dedup drops duplicate column reads end-to-end: with dedup off a
     conf-0.001 detector emits overlapping boxes; on, every surviving pair
