@@ -623,6 +623,14 @@ class KuzushijiPipeline:
 
     # --------------------------------------------------------------- e2e
     def process_page(self, image_path: str | Path) -> dict[str, Any]:
+        """One page through the cascade. With ``tile_grid > 1`` this is the
+        batched production path for a single page (full-page char det →
+        column refinement/orphan recovery → batched recognize); otherwise
+        the reference-shaped sequential flow (column det → crop → per-column
+        char det, ``inference.py:94-118``) which has no full-page char map
+        to refine against."""
+        if self.tile_grid > 1:
+            return self._process_pages_tiled([image_path])[0]
         import cv2
 
         image = cv2.cvtColor(cv2.imread(str(image_path)), cv2.COLOR_BGR2RGB)

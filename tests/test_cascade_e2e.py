@@ -265,6 +265,26 @@ def test_pipeline_dedup_wired(pipeline_runs):
     assert len(det_off["boxes"]) >= n
 
 
+def test_process_page_tiled_equals_batched(pipeline_runs):
+    """With tile_grid>1 the single-page API routes through the batched
+    production path (refinement + orphan recovery included)."""
+    from kuzu.pipeline.cascade import KuzushijiPipeline
+
+    pipe = KuzushijiPipeline(
+        column_model=pipeline_runs["det"],
+        char_model=pipeline_runs["det"],
+        recognizer=pipeline_runs["rec"],
+        conf=0.001,
+        tile_grid=2,
+    )
+    single = pipe.process_page(pipeline_runs["page"])
+    batched = pipe.process_pages([pipeline_runs["page"]])[0]
+    assert single.get("text") == batched.get("text")
+    assert len(single["columns"]) == len(batched["columns"])
+    for a, b in zip(single["columns"], batched["columns"]):
+        np.testing.assert_allclose(a["box"], b["box"])
+
+
 def test_cascade_batched_pages(pipeline_runs, tmp_path):
     from kuzu.pipeline.cascade import KuzushijiPipeline
 
