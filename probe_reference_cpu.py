@@ -64,6 +64,24 @@ def _write_stubs():
         "        order = order[1:][iou <= iou_threshold]\n"
         "    return torch.tensor(keep, dtype=torch.long)\n"
     )
+    # transformers sees the stub as "vision available" and imports
+    # torchvision.transforms.InterpolationMode at roberta import time.
+    tr = tv / "transforms"
+    tr.mkdir(exist_ok=True)
+    (tr / "__init__.py").write_text(
+        "import enum\n\n\n"
+        "class InterpolationMode(str, enum.Enum):\n"
+        '    NEAREST = "nearest"\n'
+        '    NEAREST_EXACT = "nearest-exact"\n'
+        '    BILINEAR = "bilinear"\n'
+        '    BICUBIC = "bicubic"\n'
+        '    BOX = "box"\n'
+        '    HAMMING = "hamming"\n'
+        '    LANCZOS = "lanczos"\n'
+        "\n\nfrom . import functional  # noqa: E402,F401\n"
+    )
+    (tr / "functional.py").write_text("def resize(*a, **k):\n    raise NotImplementedError\n")
+    (tv / "io.py").write_text("# transformers video_utils imports torchvision.io at module load\n")
     th = _STUBS / "thop"
     th.mkdir(exist_ok=True)
     (th / "__init__.py").write_text(
