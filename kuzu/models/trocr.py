@@ -129,6 +129,13 @@ class TrOCR(nn.Module):
     max_len: int = 128
     dropout: float = 0.0
     encoder_type: str = "vit"  # 'vit' | 'unet' (LitOCR parity) | 'csa'
+    # joint CTC+attention training (Watanabe-style hybrid): an auxiliary
+    # CTC head over the encoder memory forces monotonic visual alignment
+    # in the encoder, the standard fix for free-running AR decode collapse
+    # when training from scratch (the reference sidesteps the problem by
+    # starting from *pretrained* TrOCR weights,
+    # ``src/models/trocr_model.py:205``; zero-egress forbids that here)
+    ctc_head: bool = False
     dtype: Any = jnp.float32
     # 'auto' resolves at construction: flash_train on TPU (Pallas encoder
     # self-attention with the VMEM flash VJP, same kernels as the YOLO
@@ -188,6 +195,10 @@ class TrOCR(nn.Module):
             dropout=self.dropout,
             dtype=self.dtype,
         )
+        if self.ctc_head:
+            self.ctc_proj = nn.Dense(
+                self.vocab_size, dtype=jnp.float32, name="ctc_proj"
+            )
 
     def __call__(
         self, images: jnp.ndarray, tokens: jnp.ndarray, train: bool = False
@@ -207,6 +218,28 @@ class TrOCR(nn.Module):
 
     def encode(self, images: jnp.ndarray) -> jnp.ndarray:
         return self.encoder(self._norm(images), train=False)
+
+    def encode_train(
+        self, images: jnp.ndarray, train: bool = True
+    ) -> jnp.ndarray:
+        """Encoder-only forward with dropout active — lets the trainer
+        encode once and run the decoder twice (scheduled sampling)."""
+        return self.encoder(self._norm(images), train=train)
+
+    def decode_tokens(
+        self, tokens: jnp.ndarray, memory: jnp.ndarray, train: bool = True
+    ) -> jnp.ndarray:
+        """Teacher-forced decoder logits over a precomputed memory."""
+        return self.decoder(tokens, memory, train=train)
+
+    def ctc_logits(self, memory: jnp.ndarray) -> jnp.ndarray:
+        """Auxiliary CTC logits (B, gh, V): pool the patch-grid memory over
+        the width axis so time = the vertical reading order, then project.
+        Only defined when ``ctc_head=True``."""
+        gh = self.image_size[0] // self.patch_size[0]
+        gw = self.image_size[1] // self.patch_size[1]
+        x = memory.reshape(memory.shape[0], gh, gw, memory.shape[-1]).mean(2)
+        return self.ctc_proj(x)
 
     def decode_step(
         self, tokens: jnp.ndarray, memory: jnp.ndarray, step: jnp.ndarray

@@ -125,13 +125,25 @@ class RecognizeTrainer(BaseTrainer):
             max_len=int(cfg.get("max_label_length", 128)),
             dropout=float(cfg.get("dropout", 0.0)),
             encoder_type=str(cfg.get("encoder", "vit")),
+            ctc_head=float(cfg.get("ctc_weight", 0.0)) > 0,
             dtype=dtype,
         )
         images = jnp.zeros((1, *size, 3), jnp.float32)
         tokens = jnp.zeros((1, 8), jnp.int32)
-        variables = self.model.init(
-            jax.random.key(int(cfg.get("seed", 0))), images, tokens
-        )
+        if self.model.ctc_head:
+            # flax materializes params lazily: trace the aux-CTC path too
+            def _init(m, images, tokens):
+                mem = m.encode(images)
+                return m.decode_tokens(tokens, mem, train=False), m.ctc_logits(mem)
+
+            variables = self.model.init(
+                jax.random.key(int(cfg.get("seed", 0))), images, tokens,
+                method=_init,
+            )
+        else:
+            variables = self.model.init(
+                jax.random.key(int(cfg.get("seed", 0))), images, tokens
+            )
         params = variables["params"]
         pre = cfg.get("pretrained")
         if pre not in (None, "", True, False):
@@ -197,6 +209,21 @@ class RecognizeTrainer(BaseTrainer):
         return params
 
     def loss_fn(self, params, batch, rng):
+        """Teacher-forced CE, optionally hardened against free-running
+        decode collapse (the production v4 failure mode: val tf_acc climbs
+        while free-running CER stays ~0.9 — the from-scratch decoder leans
+        on the text prior instead of the image; the reference never hits
+        this because it starts from pretrained TrOCR weights,
+        ``src/models/trocr_model.py:205``):
+
+        - ``ctc_weight>0``: joint CTC+attention — an auxiliary CTC loss on
+          the encoder memory (blank=0=<pad>, same convention as the CTC
+          task) forces monotonic visual alignment in the encoder.
+        - ``ss_prob>0``: scheduled sampling — a first no-grad decoder pass
+          produces model predictions; each non-BOS input token is replaced
+          by the model's own previous-step prediction with prob ss_prob,
+          so training matches the free-running input distribution.
+        """
         tokens = batch["tokens"]  # (B, L) = <s> text </s> pad...
         inputs = tokens[:, :-1]
         targets = tokens[:, 1:]
@@ -210,21 +237,79 @@ class RecognizeTrainer(BaseTrainer):
             rng, arng = jax.random.split(rng)
             images = photometric_aug(from_uint8(images), arng)
             images = (images - 0.5) / 0.5  # model sees the final convention
-        logits = self.model.apply(
+        pad = self.tokenizer.pad_id
+        ss_prob = float(self.cfg.get("ss_prob", 0.0))
+        ctc_w = float(self.cfg.get("ctc_weight", 0.0))
+        rng, drng, srng = jax.random.split(rng, 3)
+        memory = self.model.apply(
             {"params": params},
             images,
-            inputs,
-            train=True,
-            rngs={"dropout": rng},
+            method=TrOCR.encode_train,
+            rngs={"dropout": drng},
         )
-        pad = self.tokenizer.pad_id
+        dec = lambda toks, r: self.model.apply(
+            {"params": params},
+            toks,
+            memory,
+            method=TrOCR.decode_tokens,
+            rngs={"dropout": r},
+        )
+        if ss_prob > 0:
+            # pass 1 (no grad): the model's own free-running-ish predictions
+            rng, r1 = jax.random.split(rng)
+            logits0 = jax.lax.stop_gradient(
+                dec(inputs, r1)
+            )
+            preds = logits0.argmax(-1).astype(inputs.dtype)  # pred of targets
+            # input position t holds token[t]; the model's candidate for it
+            # is its prediction at position t-1
+            prev_pred = jnp.concatenate([inputs[:, :1], preds[:, :-1]], axis=1)
+            pos = jnp.arange(inputs.shape[1])[None, :]
+            replace = (
+                (jax.random.uniform(srng, inputs.shape) < ss_prob)
+                & (pos > 0)
+                & (inputs != pad)
+            )
+            inputs = jnp.where(replace, prev_pred, inputs)
+        logits = dec(inputs, rng)
         mask = (targets != pad).astype(jnp.float32)
         ce = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
         loss = (ce * mask).sum() / jnp.maximum(mask.sum(), 1.0)
         acc = (((logits.argmax(-1) == targets) * mask).sum()) / jnp.maximum(
             mask.sum(), 1.0
         )
-        return loss, {"token_acc": acc}
+        metrics = {"token_acc": acc}
+        if ctc_w > 0:
+            from kuzu.ops.ctc import ctc_loss
+
+            ctc_logits = self.model.apply(
+                {"params": params}, memory, method=TrOCR.ctc_logits
+            )
+            T = ctc_logits.shape[1]
+            # CTC labels: text chars only (ids >= 5), left-packed, blank=0
+            labels = jnp.where(tokens >= 5, tokens, 0)
+            order = jnp.argsort(jnp.where(tokens >= 5, 0, 1), axis=1, stable=True)
+            labels = jnp.take_along_axis(labels, order, axis=1)[:, :T]
+            label_lens = (tokens >= 5).sum(axis=1)
+            logit_lens = jnp.full((ctc_logits.shape[0],), T)
+            per = ctc_loss(
+                ctc_logits, labels, logit_lens, label_lens, blank=0,
+                reduction="none",
+            )
+            # a label needing more frames than the T encoder rows has no
+            # valid alignment (CTC needs len + #adjacent-repeats frames) —
+            # its loss is ~1e30 garbage; mask it, and clamp besides (the
+            # first CLI drive of this path blew up to 2e27 without this)
+            reps = ((labels[:, 1:] == labels[:, :-1]) & (labels[:, 1:] != 0)).sum(1)
+            feasible = ((label_lens + reps <= T) & (per < 1e6)).astype(
+                jnp.float32
+            )
+            per = jnp.where(feasible > 0, per, 0.0)
+            denom = jnp.clip(label_lens.astype(jnp.float32), 1, None)
+            aux = (per / denom).sum() / jnp.maximum(feasible.sum(), 1.0)
+            loss = loss + ctc_w * aux
+            metrics["ctc_loss"] = aux
+        return loss, metrics
 
     def validate(self, state) -> dict[str, float]:
         params = state.ema_params if state.ema_params is not None else state.params
@@ -319,10 +404,22 @@ class RecognizePredictor:
             dec_heads=int(train_cfg.get("dec_heads", 8)),
             max_len=int(train_cfg.get("max_label_length", 128)),
             encoder_type=str(train_cfg.get("encoder", "vit")),
+            # checkpoints trained with the joint CTC+attention loss carry a
+            # ctc_proj param — the inference tree must match to restore
+            ctc_head=float(train_cfg.get("ctc_weight", 0.0)) > 0,
         )
         images = jnp.zeros((1, *size, 3), jnp.float32)
         tokens = jnp.zeros((1, 8), jnp.int32)
-        params = self.model.init(jax.random.key(0), images, tokens)["params"]
+        if self.model.ctc_head:
+            def _init(m, images, tokens):
+                mem = m.encode(images)
+                return m.decode_tokens(tokens, mem, train=False), m.ctc_logits(mem)
+
+            params = self.model.init(
+                jax.random.key(0), images, tokens, method=_init
+            )["params"]
+        else:
+            params = self.model.init(jax.random.key(0), images, tokens)["params"]
         mgr = CheckpointManager(run_dir / "weights")
         name = "best" if mgr.exists("best") else "last"
         from kuzu.core.checkpoint import load_inference_params

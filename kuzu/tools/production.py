@@ -101,6 +101,91 @@ def draw_glyph(d, ch: str, x: int, y: int, w: int, h: int, rng, ink=(40, 30, 25)
         d.line(px, fill=col, width=max(1, int(width * w)))
 
 
+# ------------------------------------------------------- page degradation
+
+
+def _real_margin_textures(patch: int = 160) -> list[np.ndarray]:
+    """Paper-texture patches sampled from the real sample page's margins
+    (the only real kuzushiji pixels in this environment) — the synthetic
+    renderer multiplies them in as background so detector/recognizer train
+    on realistic paper instead of flat RGB (round-3 real-page domain gap)."""
+    if not SAMPLE_PAGE.exists():
+        return []
+    import cv2
+
+    img = cv2.cvtColor(cv2.imread(str(SAMPLE_PAGE)), cv2.COLOR_BGR2RGB)
+    h, w = img.shape[:2]
+    gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY).astype(np.float32)
+    cands = []
+    for y in range(0, h - patch, patch // 2):
+        for x in range(0, w - patch, patch // 2):
+            g = gray[y : y + patch, x : x + patch]
+            m = float(g.mean())
+            if m < 120:  # binding shadow / black blotch — not paper
+                continue
+            cands.append((float(g.std()), y, x))
+    cands.sort()
+    out = []
+    for _, y, x in cands[:8]:  # the 8 most uniform = blank paper
+        p = img[y : y + patch, x : x + patch].astype(np.float32)
+        # normalize by the SCALAR mean: keeps the warm paper color cast
+        # (the real page is tan; the synth base is gray-green)
+        out.append(p / max(p.mean(), 1.0))
+    return out
+
+
+_TEXTURES: list[np.ndarray] | None = None
+
+
+def degrade_page(img, rng, strength: float = 1.0):
+    """Historical-document degradation on a rendered PIL page: real-margin
+    paper texture, low-frequency tone field, ink bleed (edge blur), stains,
+    and sensor grain. Geometry-free — boxes stay valid. ``strength=0`` is
+    the identity (the round-3 regime)."""
+    if strength <= 0:
+        return img
+    import cv2
+    from PIL import Image
+
+    global _TEXTURES
+    if _TEXTURES is None:
+        _TEXTURES = _real_margin_textures()
+    a = np.asarray(img).astype(np.float32)
+    h, w = a.shape[:2]
+    # real paper texture, tiled at a random scale
+    if _TEXTURES and rng.random() < 0.9 * strength:
+        tex = _TEXTURES[int(rng.integers(len(_TEXTURES)))]
+        scale = float(rng.uniform(0.7, 1.6))
+        tw = max(32, int(tex.shape[1] * scale))
+        tex = cv2.resize(tex, (tw, tw), interpolation=cv2.INTER_LINEAR)
+        reps = (h // tw + 2, w // tw + 2)
+        field = np.tile(tex, (reps[0], reps[1], 1))[:h, :w]
+        blend = float(rng.uniform(0.25, 0.7)) * strength
+        a = a * (1.0 - blend + blend * field)
+    # low-frequency tone field (uneven lighting / aging)
+    g = rng.normal(1.0, 0.05 * strength, (8, 8)).astype(np.float32)
+    g = cv2.resize(g, (w, h), interpolation=cv2.INTER_CUBIC)
+    a *= g[..., None]
+    # ink bleed: soft blur spreads stroke edges
+    if rng.random() < 0.7 * strength:
+        a = cv2.GaussianBlur(a, (0, 0), float(rng.uniform(0.4, 1.0)))
+    # stains / foxing blotches
+    for _ in range(int(rng.integers(0, 4))):
+        mask = np.zeros((h, w), np.float32)
+        cx, cy = int(rng.integers(w)), int(rng.integers(h))
+        ax, ay = int(rng.integers(20, 140)), int(rng.integers(20, 140))
+        cv2.ellipse(
+            mask, (cx, cy), (ax, ay), float(rng.uniform(0, 180)), 0, 360,
+            1.0, -1,
+        )
+        mask = cv2.GaussianBlur(mask, (0, 0), ax / 3 + 1)
+        tint = rng.uniform(0.82, 0.96)
+        a = a * (1.0 - mask[..., None] * (1.0 - tint))
+    # grain
+    a += rng.normal(0, 2.5 * strength, a.shape).astype(np.float32)
+    return Image.fromarray(np.clip(a, 0, 255).astype(np.uint8))
+
+
 # ------------------------------------------------------------- page synth
 
 
@@ -161,6 +246,8 @@ def synth_dense_pages(
     seed: int = 0,
     extra_cols: int = 6000,
     text_alpha: float = 0.5,
+    degrade: float = 1.0,
+    col_extra_pages: int = 0,
 ) -> dict:
     """Build the production dataset suite: dense pages (≥800 glyphs/page),
     page-level char labels (nc=1), column labels, tiled char-detect set,
@@ -191,16 +278,17 @@ def synth_dense_pages(
             (root / sub / split).mkdir(parents=True, exist_ok=True)
         (root / "columns" / split).mkdir(parents=True, exist_ok=True)
         for i in range(n):
-            bg = 225 + int(rng.integers(0, 20))
+            bg = 220 + int(rng.integers(0, 28))
             img = Image.new("RGB", (page, page), (bg, bg - 5, bg - 18))
             d = ImageDraw.Draw(img)
             char_rows, col_rows = [], []
-            n_cols = int(rng.integers(14, 19))
+            pending_crops = []  # crop AFTER degradation (recognizer sees it)
+            n_cols = int(rng.integers(12, 20))
             # kuzushiji reading order: columns right -> left
             xs = np.linspace(0.95, 0.05, n_cols) * page
             glyphs = 0
             for ci, cx in enumerate(xs):
-                cw = int(rng.integers(15, 22))  # column width ~ char size
+                cw = int(rng.integers(14, 24))  # column width ~ char size
                 y = int(rng.integers(24, 70))
                 seg = 0
                 while y < page - 80:
@@ -242,17 +330,23 @@ def synth_dense_pages(
                         f"0 {(x1 + x2) / 2 / page:.6f} {(y1 + y2) / 2 / page:.6f} "
                         f"{(x2 - x1) / page:.6f} {(y2 - y1) / page:.6f}"
                     )
-                    # column crop for the recognizer (P19 output schema)
-                    crop = img.crop((int(x1), int(y1), int(x2), int(y2)))
-                    cpth = root / "columns" / split / f"p{i}c{ci}s{seg}.png"
-                    crop.save(cpth)
-                    uni = " ".join(f"U+{ord(c):04X}" for c in col_chars)
-                    csv_rows.append(
-                        f"{cpth.relative_to(root)},{split}/p{i}.jpg,"
-                        f"\"{int(x1)},{int(y1)},{int(x2)},{int(y2)}\",{uni}"
+                    # column crop for the recognizer (P19 output schema) —
+                    # deferred until after page degradation
+                    pending_crops.append(
+                        (int(x1), int(y1), int(x2), int(y2), ci, seg, col_chars)
                     )
-                    corpus[split].append("".join(col_chars))
                     seg += 1
+            img = degrade_page(img, rng, strength=degrade)
+            for x1, y1, x2, y2, ci, seg, col_chars in pending_crops:
+                crop = img.crop((x1, y1, x2, y2))
+                cpth = root / "columns" / split / f"p{i}c{ci}s{seg}.png"
+                crop.save(cpth)
+                uni = " ".join(f"U+{ord(c):04X}" for c in col_chars)
+                csv_rows.append(
+                    f"{cpth.relative_to(root)},{split}/p{i}.jpg,"
+                    f"\"{x1},{y1},{x2},{y2}\",{uni}"
+                )
+                corpus[split].append("".join(col_chars))
             img.save(root / "char/images" / split / f"p{i}.jpg", quality=92)
             (root / "char/labels" / split / f"p{i}.txt").write_text(
                 "\n".join(char_rows)
@@ -295,6 +389,7 @@ def synth_dense_pages(
                 y += h + int(rng.integers(1, 6))
             bx = np.array(boxes)
             crop = canvas.crop((0, 0, W, min(canvas.height, int(bx[:, 3].max()) + 12)))
+            crop = degrade_page(crop, rng, strength=degrade)
             cpth = xdir / f"x{i}.png"
             crop.save(cpth)
             uni = " ".join(f"U+{ord(c):04X}" for c in text)
@@ -303,6 +398,49 @@ def synth_dense_pages(
             )
             corpus["train"].append("".join(text))
     csv_rows[1:1] = extra_rows
+
+    # column-detector-only extra pages (train split): the column head was
+    # the weakest production stage (mAP50 0.89 on 48 train pages) — pages
+    # are cheap, so widen its layout/degradation coverage without paying
+    # the char-label / crop / corpus cost
+    for i in range(col_extra_pages):
+        bg = 218 + int(rng.integers(0, 30))
+        img = Image.new("RGB", (page, page), (bg, bg - 5, bg - 18))
+        d = ImageDraw.Draw(img)
+        col_rows = []
+        n_cols = int(rng.integers(10, 22))
+        xs = np.linspace(0.95, 0.05, n_cols) * page
+        for cx in xs:
+            cw = int(rng.integers(13, 26))
+            y = int(rng.integers(20, 90))
+            while y < page - 80:
+                seg_end = min(y + int(rng.integers(220, 720)), page - 20)
+                col_boxes = []
+                seg_text = [chars[j] for j in mk.line(rng, 80)]
+                k = 0
+                while y < seg_end:
+                    w = cw + int(rng.integers(-3, 4))
+                    h = int(w * rng.uniform(0.9, 1.4))
+                    x = max(0, min(page - w - 1, int(cx - w / 2 + rng.integers(-3, 4))))
+                    if y + h > seg_end:
+                        break
+                    draw_glyph(d, seg_text[k], x, y, w, h, rng)
+                    col_boxes.append((x, y, x + w, y + h))
+                    y += h + int(rng.integers(1, 6))
+                    k += 1
+                y += int(rng.integers(40, 130))
+                if len(col_boxes) < 2:
+                    continue
+                bx = np.array(col_boxes)
+                x1, y1 = bx[:, 0].min() - 4, bx[:, 1].min() - 4
+                x2, y2 = bx[:, 2].max() + 4, bx[:, 3].max() + 4
+                col_rows.append(
+                    f"0 {(x1 + x2) / 2 / page:.6f} {(y1 + y2) / 2 / page:.6f} "
+                    f"{(x2 - x1) / page:.6f} {(y2 - y1) / page:.6f}"
+                )
+        img = degrade_page(img, rng, strength=degrade)
+        img.save(root / "col/images/train" / f"x{i}.jpg", quality=92)
+        (root / "col/labels/train" / f"x{i}.txt").write_text("\n".join(col_rows))
 
     for name in ("char", "col"):
         (root / name / "dataset.yaml").write_text(
@@ -332,6 +470,8 @@ def synth_dense_pages(
         "vocab": len(tok),
         "columns": len(csv_rows) - 1,
         "extra_columns": len(extra_rows),
+        "col_extra_pages": col_extra_pages,
+        "degrade": degrade,
         "text_model": "markov-bigram",
     }
     (root / "meta.json").write_text(json.dumps(meta, indent=2))
@@ -424,6 +564,11 @@ def train_stage(root: Path, stage: str, **overrides) -> dict:
                 # explicit: the YOLO SGD auto-rule stalls from-scratch
                 # transformers (v2/v3 plateaued at val CER ~0.9)
                 optimizer="adamw", lr0=3e-4, warmup_epochs=1.0,
+                # anti-collapse pair (round-3 diagnosis: tf_acc climbs, CER
+                # 0.87 — exposure bias + ungrounded cross-attention): joint
+                # CTC+attention on the encoder + scheduled sampling
+                ctc_weight=float(overrides.get("ctc_weight", 0.3)),
+                ss_prob=float(overrides.get("ss_prob", 0.25)),
                 resume=bool(overrides.get("rec_resume", 0)),
                 project=str(root / "runs"), name="rec", exist_ok=True,
                 workers=2, cache_images="ram", **kw,

@@ -143,6 +143,31 @@ def test_recognize_trainer_csv_data(column_info_csv, tmp_path):
     assert "fitness" in result
 
 
+def test_joint_ctc_scheduled_sampling(column_info_csv, tmp_path):
+    """Anti-collapse training options (production v4 fix): joint
+    CTC+attention (`ctc_weight`) + scheduled sampling (`ss_prob`) train end
+    to end, produce a finite decreasing loss, and the `ctc_proj`-bearing
+    checkpoint restores through the standard predictor."""
+    from kuzu.core.config import load_config
+    from kuzu.tasks.recognize import RecognizePredictor, RecognizeTrainer
+
+    cfg = _cfg(
+        column_info_csv, tmp_path, epochs=2, name="joint",
+        ctc_weight=0.3, ss_prob=0.3,
+    )
+    trainer = RecognizeTrainer(cfg)
+    result = trainer.train()
+    assert "cer" in result
+    # the joint loss created the encoder CTC head
+    assert "ctc_proj" in trainer.state.params
+    pred = RecognizePredictor(
+        load_config(overrides={"model": str(trainer.save_dir)})
+    )
+    img = Path(column_info_csv).parent / "imgs" / "0.png"
+    out = pred([img])
+    assert isinstance(out[0], str)
+
+
 def test_beam_validation_beats_or_ties_greedy(oneline_root, tmp_path):
     """Beam-4 validation wired end to end (reference num_beams=4,
     src/models/trocr_model.py:303-316): beam CER <= greedy CER once the toy
