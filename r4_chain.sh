@@ -48,4 +48,6 @@ echo "=== STAGE bench ctc ($(date)) ==="
 python -m kuzu.tools.production bench root=$ROOT rec=ctc
 echo "=== STAGE sample ($(date)) ==="
 python -m kuzu.tools.production sample root=$ROOT rec=ctc
+echo "=== STAGE real-page eval ($(date)) ==="
+python -m kuzu.tools.production real root=$ROOT rec=ctc
 echo "=== CHAIN R4 DONE ($(date)) ==="
