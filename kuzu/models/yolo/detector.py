@@ -97,7 +97,10 @@ class YoloDetector:
         if jax.default_backend() == "tpu":
             from kuzu.models.yolo.infer import run_graph
 
-            return run_graph(self.spec, variables, images)
+            return run_graph(
+                self.spec, variables, images,
+                stem_s2d=getattr(self, "stem_s2d", True),
+            )
         return self.apply(variables, images, train=False)
 
     # ------------------------------------------------------------- helpers

@@ -85,6 +85,49 @@ def conv(p: _P, x, s: int = 1, g: int = 1, act: bool = True, k: int | None = Non
     return jax.nn.silu(y) if act else y
 
 
+def stem_conv_s2d(p: _P, x):
+    """The stem Conv(3->C, k3, s2) as a space-to-depth conv — same math,
+    MXU-friendlier layout (round-4 VERDICT item 6).
+
+    A 3-channel k3 conv has an im2col contraction of K=27 against the
+    MXU's 128-lane tiles (~21% utilization). Packing 2x2 pixel blocks into
+    channels (x (B,H,W,3) -> X (B,H/2,W/2,12)) turns it into a k2 s1 conv
+    with K=48 at a quarter of the positions — identical output up to
+    summation order (the well-known TPU ResNet space-to-depth stem
+    rewrite, applied here at weight-load time instead of train time).
+    Tap mapping: output y[i,j] reads x[2i+di, 2j+dj], di,dj in {-1,0,1};
+    with X[p,q,(u,v,c)] = x[2p+u, 2q+v, c] those taps live in X rows/cols
+    {i-1, i} x {j-1, j}, so W2[P,Q,(u,v,c),o] = w[2P+u-2+1, 2Q+v-2+1, c, o]
+    where in-range, else zero.
+    """
+    w, bias = _fold_bn(p.params["conv"], p.params["bn"], p.stats["bn"])
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (3, 3) and cin == 3
+    b_, h, wd, _ = x.shape
+    X = (
+        x.reshape(b_, h // 2, 2, wd // 2, 2, cin)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b_, h // 2, wd // 2, 4 * cin)
+    )
+    # W2 built by gather from the padded original kernel (traced on the
+    # weight argument; negligible vs the conv itself)
+    wp = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))  # di index -2 -> 0
+    P, Q, u, v = jnp.meshgrid(
+        jnp.arange(2), jnp.arange(2), jnp.arange(2), jnp.arange(2),
+        indexing="ij",
+    )
+    di = 2 * P + u - 2  # in {-2,-1,0,1}; -2 lands on the zero pad row
+    dj = 2 * Q + v - 2
+    # (P,Q,u,v,cin,cout) -> flatten (u,v,cin) to match X's (u*2+v)*cin + c
+    w2 = wp[di + 2, dj + 2].reshape(2, 2, 4 * cin, cout)
+    y = lax.conv_general_dilated(
+        X, w2.astype(X.dtype), (1, 1), [(1, 0), (1, 0)],
+        dimension_numbers=DN,
+    )
+    y = y + bias.astype(y.dtype)
+    return jax.nn.silu(y)
+
+
 def plain_conv(p: dict, x):
     """Bias-carrying 1x1 conv with no BN (Detect head leaves)."""
     w = p["kernel"].astype(x.dtype)
@@ -472,7 +515,11 @@ def obb(p: _P, feats: list, nc: int, legacy: bool, ne: int):
 
 
 def run_graph(
-    spec: Any, variables: dict, images: jnp.ndarray, interpret: bool = False
+    spec: Any,
+    variables: dict,
+    images: jnp.ndarray,
+    interpret: bool = False,
+    stem_s2d: bool = False,
 ) -> list:
     """Execute the parsed GraphSpec functionally (inference only).
 
@@ -499,7 +546,15 @@ def run_graph(
             s = a[2] if len(a) > 2 else 1
             g = a[4] if len(a) > 4 else 1
             act = a[5] if len(a) > 5 else True
-            cur = conv(p, ins[0], s=s, g=g, act=act)
+            if (
+                stem_s2d and node.index == 0 and s == 2 and g == 1 and act
+                and ins[0].shape[-1] == 3 and ins[0].shape[1] % 2 == 0
+                and ins[0].shape[2] % 2 == 0
+                and p.params["conv"]["kernel"].shape[:2] == (3, 3)
+            ):
+                cur = stem_conv_s2d(p, ins[0])
+            else:
+                cur = conv(p, ins[0], s=s, g=g, act=act)
         elif m == "DWConv":
             s = a[2] if len(a) > 2 else 1
             cur = conv(p.child("dw"), ins[0], s=s, g=ins[0].shape[-1])

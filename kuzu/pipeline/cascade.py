@@ -253,6 +253,15 @@ class KuzushijiPipeline:
         # support (tiled batched path; refine_columns_by_chars)
         col_recover: bool = True,  # synthesize columns for char segments
         # no column claims (columns_from_orphan_chars; needs col_refine)
+        lm_mode: str = "annotate",  # what the LM stage does to final texts:
+        # 'annotate' = attach a PLL lm_score per column (costs one jitted
+        # rescore pass; never changes text), 'off' = skip it. Measured: for
+        # a greedy recognizer the stage buys ZERO CER by construction —
+        # decode='beam_lm' is the mode where the LM actually corrects
+        # (n-best rerank), and it rescores regardless of lm_mode.
+        ship_once: bool = True,  # equal-shape page batches cross the
+        # tunnel once as raw uint8; letterbox/tiles/crops derive on device
+        # (device_pages.py). Auto-falls-back for mixed shapes or dp>0.
     ):
         from kuzu.core.config import load_config
 
@@ -264,6 +273,8 @@ class KuzushijiPipeline:
         self.num_beams = num_beams
         self.max_det = max_det
         self.lm_weight = lm_weight
+        self.lm_mode = lm_mode
+        self.ship_once = ship_once
         self.col_dedup = col_dedup
         self.col_refine = col_refine
         self.col_recover = col_recover
@@ -461,10 +472,6 @@ class KuzushijiPipeline:
         assert self.recognizer is not None, "no recognizer configured"
         if not self.recognizer.ready:
             self.recognizer._setup()
-        import jax.numpy as jnp
-
-        from kuzu.models.trocr import generate
-
         if not crops:
             return []
         size = self.recognizer.image_size
@@ -479,6 +486,50 @@ class KuzushijiPipeline:
         nb = next_bucket(n, min_bucket=_bucket_floor(self.recognizer))
         batch.extend([np.zeros_like(batch[0])] * (nb - n))
         images = self.recognizer._put(np.stack(batch))
+        return self._decode_crop_batch(images, n)
+
+    def recognize_boxes_device(self, pages_dev, page_idx, boxes) -> list[str]:
+        """Ship-once recognizer stage: crop-letterbox every column ON
+        DEVICE from the resident page batch (``device_pages.device_crops``)
+        and decode — no crop pixels cross the tunnel (the host previously
+        shipped ~66 MB of letterboxed crops per 12-page production batch).
+        ``boxes`` are margin-expanded page-pixel windows; degenerate
+        (sliver) windows read as empty text, matching the host path's blank
+        crops."""
+        assert self.recognizer is not None, "no recognizer configured"
+        if not self.recognizer.ready:
+            self.recognizer._setup()
+        n = len(page_idx)
+        if n == 0:
+            return []
+        import jax.numpy as jnp
+
+        from kuzu.data.loader import next_bucket
+        from kuzu.pipeline.device_pages import device_crops
+
+        boxes = np.asarray(boxes, np.float32)
+        degenerate = (boxes[:, 2] - boxes[:, 0] < 1) | (
+            boxes[:, 3] - boxes[:, 1] < 1
+        )
+        nb = next_bucket(n, min_bucket=_bucket_floor(self.recognizer))
+        idx_p = np.zeros((nb,), np.int32)
+        idx_p[:n] = np.asarray(page_idx, np.int32)
+        box_p = np.tile(np.array([0, 0, 2, 2], np.float32), (nb, 1))
+        box_p[:n] = np.where(degenerate[:, None], [0, 0, 2, 2], boxes)
+        h, w = self.recognizer.image_size
+        images = device_crops(
+            pages_dev, jnp.asarray(idx_p), jnp.asarray(box_p),
+            out_h=int(h), out_w=int(w),
+        )
+        texts = self._decode_crop_batch(images, n)
+        return ["" if degenerate[i] else t for i, t in enumerate(texts)]
+
+    def _decode_crop_batch(self, images, n: int) -> list[str]:
+        """Decode a device-resident letterboxed crop batch (first n real)."""
+        import jax.numpy as jnp
+
+        from kuzu.models.trocr import generate
+
         tok = self.recognizer.tokenizer
         if getattr(self, "rec_task", "recognize") == "ctc":
             if self.decode == "beam_lm":
@@ -621,6 +672,96 @@ class KuzushijiPipeline:
         )
         return [float(scores[i]) if lens[i] > 2 else 0.0 for i in range(t)]
 
+    # ------------------------------------------------ ship-once device path
+    def _detect_pages_device(self, predictor, pages_dev, hw) -> list[dict]:
+        """Full-page detection over a device-resident uint8 page batch:
+        letterbox ON DEVICE + the predictor's fused forward in one jit
+        (cached per (shape, imgsz)); boxes unscale to page pixels on host
+        exactly like DetectPredictor._predict_frames."""
+        import jax
+
+        from kuzu.pipeline.device_pages import device_letterbox
+
+        if not predictor.ready:
+            predictor._setup()
+        imgsz = predictor.imgsz
+        key = ("pages", tuple(pages_dev.shape), imgsz)
+        cache = getattr(self, "_dev_fwd_cache", None)
+        if cache is None:
+            cache = self._dev_fwd_cache = {}
+        fwd = cache.get(key)
+        if fwd is None:
+            fwd = cache[key] = jax.jit(
+                lambda v, p: predictor._fwd_jit(
+                    v, device_letterbox(p, imgsz)[0]
+                )
+            )
+        out = {
+            k: np.asarray(v)
+            for k, v in fwd(predictor.variables, pages_dev).items()
+        }
+        h, w = hw
+        gain = min(imgsz / h, imgsz / w)
+        nw, nh = max(int(round(w * gain)), 1), max(int(round(h * gain)), 1)
+        px, py = (imgsz - nw) // 2, (imgsz - nh) // 2
+        dets = []
+        for i in range(len(out["boxes"])):
+            v = out["valid"][i].astype(bool)
+            b = (out["boxes"][i][v] - [px, py, px, py]) / gain
+            b[:, [0, 2]] = b[:, [0, 2]].clip(0, w)
+            b[:, [1, 3]] = b[:, [1, 3]].clip(0, h)
+            dets.append(
+                {
+                    "boxes": b,
+                    "scores": out["scores"][i][v],
+                    "classes": out["classes"][i][v],
+                }
+            )
+        return dets
+
+    def _detect_tiles_device(self, pages_dev, hw):
+        """Char detection over on-device overlap tiles of the resident
+        page batch (one jit: tile extraction + fused forward). Returns
+        (padded NMS out over B*T tiles, single-page tile metas)."""
+        import jax
+
+        from kuzu.pipeline.device_pages import device_tiles, tile_bounds_px
+
+        predictor = self.char_det
+        imgsz = predictor.imgsz
+        key = ("tiles", tuple(pages_dev.shape), imgsz, self.tile_grid)
+        cache = getattr(self, "_dev_fwd_cache", None)
+        if cache is None:
+            cache = self._dev_fwd_cache = {}
+        fwd = cache.get(key)
+        if fwd is None:
+            grid, overlap = self.tile_grid, self.tile_overlap
+
+            def f(v, p):
+                tiles, _ = device_tiles(p, grid, overlap, imgsz)
+                return predictor._fwd_jit(v, tiles)
+
+            fwd = cache[key] = jax.jit(f)
+        out = {
+            k: np.asarray(v)
+            for k, v in fwd(predictor.variables, pages_dev).items()
+        }
+        # metas identical across pages (shared geometry); recompute host-side
+        h, w = hw
+        metas = []
+        for px1, py1, px2, py2 in tile_bounds_px(h, w, self.tile_grid, self.tile_overlap):
+            th, tw = py2 - py1, px2 - px1
+            gain = min(imgsz / th, imgsz / tw)
+            nw2, nh2 = max(int(round(tw * gain)), 1), max(int(round(th * gain)), 1)
+            metas.append(
+                {
+                    "origin": (px1, py1),
+                    "gain": gain,
+                    "pad": ((imgsz - nw2) // 2, (imgsz - nh2) // 2),
+                }
+            )
+        return out, metas
+
     # --------------------------------------------------------------- e2e
     def process_page(self, image_path: str | Path) -> dict[str, Any]:
         """One page through the cascade. With ``tile_grid > 1`` this is the
@@ -724,7 +865,11 @@ class KuzushijiPipeline:
             texts = self.recognize_crops(all_crops)  # one batched generate
             # ONE jitted rescore for every column of every page (per-page
             # calls were one dispatch + one bucket pad each)
-            scores = self.rescore_texts(texts) if self.lm is not None else None
+            scores = (
+                self.rescore_texts(texts)
+                if self.lm is not None and self.lm_mode != "off"
+                else None
+            )
             for result, (lo, hi) in zip(results, crop_spans):
                 page_texts = texts[lo:hi]
                 for col, t in zip(result["columns"], page_texts):
@@ -760,36 +905,74 @@ class KuzushijiPipeline:
             cv2.cvtColor(cv2.imread(str(p)), cv2.COLOR_BGR2RGB)
             for p in image_paths
         ]
-        col_dets = [
-            self._dedup(d) for d in self.column_det(list(image_paths))
-        ]  # batched full pages
+        # ship-once fast path: equal-shape pages cross the tunnel ONCE as
+        # raw uint8; the column letterbox, the char tiles, and the
+        # recognizer crops all derive on device (device_pages.py — the
+        # production cascade was transfer-bound at ~50 MB/s with a 1:1
+        # host-RAM leak per byte shipped)
+        ship_once = (
+            self.ship_once
+            and self.dp == 0
+            and len({im.shape for im in images}) == 1
+        )
+        pages_dev = None
+        if ship_once:
+            import jax
+
+            b = len(images)
+            nb = next_bucket(b, min_bucket=1)
+            stack = np.stack(images)
+            if nb > b:
+                stack = np.concatenate(
+                    [stack, np.zeros_like(stack[:1]).repeat(nb - b, 0)]
+                )
+            pages_dev = jax.device_put(stack)
+            col_dets = [
+                self._dedup(d)
+                for d in self._detect_pages_device(
+                    self.column_det, pages_dev, images[0].shape[:2]
+                )[:b]
+            ]
+        else:
+            col_dets = [
+                self._dedup(d) for d in self.column_det(list(image_paths))
+            ]  # batched full pages
 
         # characters: all pages' tiles through one forward
         char_pages: list[dict] | None = None
         if self.char_det is not None:
             if not self.char_det.ready:
                 self.char_det._setup()
-            tiles_all, metas_all, spans = [], [], []
-            for img in images:
-                tiles, metas = tile_image(
-                    img, grid=self.tile_grid, overlap=self.tile_overlap,
-                    tile_size=self.char_det.imgsz,
+            if ship_once:
+                out, metas = self._detect_tiles_device(
+                    pages_dev, images[0].shape[:2]
                 )
-                spans.append((len(tiles_all), len(tiles_all) + len(tiles)))
-                tiles_all.extend(tiles)
-                metas_all.extend(metas)
-            stack = np.stack(tiles_all)
-            pad = next_bucket(
-                len(stack), min_bucket=_bucket_floor(self.char_det)
-            ) - len(stack)
-            if pad:
-                # zeros_like(stack[:1]).repeat: stack[:pad] yields at most
-                # len(stack) rows and under-pads when pad > len(stack)
-                stack = np.concatenate(
-                    [stack, np.zeros_like(stack[:1]).repeat(pad, 0)]
-                )
-            out = self.char_det._fwd(stack)
-            out = {k: np.asarray(v) for k, v in out.items()}
+                t = len(metas)
+                spans = [(i * t, (i + 1) * t) for i in range(len(images))]
+                metas_all = metas * len(images)
+            else:
+                tiles_all, metas_all, spans = [], [], []
+                for img in images:
+                    tiles, metas = tile_image(
+                        img, grid=self.tile_grid, overlap=self.tile_overlap,
+                        tile_size=self.char_det.imgsz,
+                    )
+                    spans.append((len(tiles_all), len(tiles_all) + len(tiles)))
+                    tiles_all.extend(tiles)
+                    metas_all.extend(metas)
+                stack = np.stack(tiles_all)
+                pad = next_bucket(
+                    len(stack), min_bucket=_bucket_floor(self.char_det)
+                ) - len(stack)
+                if pad:
+                    # zeros_like(stack[:1]).repeat: stack[:pad] yields at
+                    # most len(stack) rows and under-pads when pad >
+                    # len(stack)
+                    stack = np.concatenate(
+                        [stack, np.zeros_like(stack[:1]).repeat(pad, 0)]
+                    )
+                out = self.char_det._fwd(stack)
+                out = {k: np.asarray(v) for k, v in out.items()}
             # cross-tile NMS for ALL pages in one device call (a per-page
             # dispatch costs a fixed tunnel round-trip each)
             char_pages = merge_tile_detections_pages(
@@ -891,15 +1074,35 @@ class KuzushijiPipeline:
                             "scores": cb_scores[top].tolist(),
                         }
             if self.recognizer is not None:
-                crops = self.crop_columns(image, boxes)
-                crop_spans.append((len(all_crops), len(all_crops) + len(crops)))
-                all_crops.extend(crops)
+                if ship_once:
+                    bounds = self._column_bounds(image.shape, boxes)
+                    crop_spans.append(
+                        (len(all_crops), len(all_crops) + len(bounds))
+                    )
+                    all_crops.extend((pi, bd) for bd in bounds)
+                else:
+                    crops = self.crop_columns(image, boxes)
+                    crop_spans.append(
+                        (len(all_crops), len(all_crops) + len(crops))
+                    )
+                    all_crops.extend(crops)
             else:
                 crop_spans.append((0, 0))
             results.append(result)
         if self.recognizer is not None and all_crops:
-            texts = self.recognize_crops(all_crops)
-            scores = self.rescore_texts(texts) if self.lm is not None else None
+            if ship_once:
+                texts = self.recognize_boxes_device(
+                    pages_dev,
+                    [pi for pi, _ in all_crops],
+                    [bd for _, bd in all_crops],
+                )
+            else:
+                texts = self.recognize_crops(all_crops)
+            scores = (
+                self.rescore_texts(texts)
+                if self.lm is not None and self.lm_mode != "off"
+                else None
+            )
             for result, (lo, hi) in zip(results, crop_spans):
                 page_texts = texts[lo:hi]
                 for col, t in zip(result["columns"], page_texts):

@@ -595,6 +595,7 @@ def production_pipeline(
     dp: int = 0,
     rec: str = "rec",
     col_conf: float = 0.002,
+    lm_mode: str = "annotate",
 ):
     """``rec`` picks the recognizer family: ``rec`` = the AR TrOCR run,
     ``ctc`` = the CTC CRNN run trained on the same columns (the cascade
@@ -623,17 +624,24 @@ def production_pipeline(
         decode=decode,
         max_det=2000,
         dp=dp,  # multi-chip serving (v5e-8): shard every stage's batch
+        lm_mode=lm_mode,
     )
 
 
 def bench(
-    root: Path, pages: int = 16, reps: int = 3, dp: int = 0, rec: str = "rec"
+    root: Path, pages: int = 16, reps: int = 3, dp: int = 0, rec: str = "rec",
+    lm_mode: str | None = None,
 ) -> dict:
     """Production-configuration cascade pages/s (yolov12x-P2P5 char det with
     2x2 tiling + full-size TrOCR + LM rescoring), on the val pages.
-    ``dp=N`` serves every stage sharded over an N-chip mesh."""
+    ``dp=N`` serves every stage sharded over an N-chip mesh. The LM stage
+    defaults OFF for greedy recognizers (it cannot change a greedy text —
+    measured 0.67 s / 12 pages of pure annotation cost; pass
+    lm_mode=annotate to keep the per-column lm_score)."""
     root = Path(root)
-    pipe = production_pipeline(root, dp=int(dp), rec=rec)
+    if lm_mode is None:
+        lm_mode = "off"  # greedy production decode: annotation only
+    pipe = production_pipeline(root, dp=int(dp), rec=rec, lm_mode=lm_mode)
     paths = sorted((root / "char/images/val").glob("*.jpg"))[:pages]
     assert paths, "run synth + train first"
     # warmup (compiles)
@@ -654,6 +662,7 @@ def bench(
         "chars_detected": int(n_det),
         "decode": pipe.decode,
         "max_det": pipe.max_det,
+        "lm_mode": pipe.lm_mode,
     }
     print(json.dumps(res))
     return res
@@ -767,6 +776,13 @@ def quality(root: Path, rec: str = "rec", col_conf: float = 0.002) -> dict:
         )
         pipe.decode = "greedy"
     res.update(e2e_page_quality(root, pipe))
+    if pipe.lm is not None and getattr(pipe, "rec_task", "recognize") != "ctc":
+        # the LM-rescore stage's measured e2e contribution (VERDICT r3-5):
+        # full cascade with beam_lm reranking vs the greedy run above
+        pipe.decode = "beam_lm"
+        res["e2e_cer_beam_lm"] = e2e_page_quality(root, pipe)["e2e_cer"]
+        res["e2e_lm_delta_cer"] = res["e2e_cer"] - res["e2e_cer_beam_lm"]
+        pipe.decode = "greedy"
     print(json.dumps(res))
     return res
 

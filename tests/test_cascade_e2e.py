@@ -416,6 +416,41 @@ def test_batched_tiled_pages(pipeline_runs):
         assert (b >= 0).all() and (b[:, [0, 2]] <= 192).all()
 
 
+def test_ship_once_matches_host_path(pipeline_runs):
+    """Round-4 ship-once transport: the device-derived letterbox/tiles/
+    crops path produces the same columns, texts, and char boxes as the
+    host path (equal-shape pages; resize kernels differ only in rounding,
+    and the toy models are far from decision boundaries)."""
+    from kuzu.pipeline.cascade import KuzushijiPipeline
+
+    kw = dict(
+        column_model=pipeline_runs["det"],
+        char_model=pipeline_runs["det"],
+        recognizer=pipeline_runs["rec"],
+        conf=0.001,
+        tile_grid=2,
+        max_det=2000,
+    )
+    pages = [pipeline_runs["page"]] * 2
+    fast = KuzushijiPipeline(**kw, ship_once=True).process_pages(pages)
+    host = KuzushijiPipeline(**kw, ship_once=False).process_pages(pages)
+    assert len(fast) == len(host) == 2
+    for f, h in zip(fast, host):
+        assert len(f["columns"]) == len(h["columns"])
+        assert [c["text"] for c in f["columns"]] == [
+            c["text"] for c in h["columns"]
+        ]
+        fb = np.asarray(f["characters"]["boxes"])
+        hb = np.asarray(h["characters"]["boxes"])
+        assert fb.shape == hb.shape
+        if len(fb):
+            assert np.abs(fb - hb).max() < 2.0
+        for fc, hc in zip(f["columns"], h["columns"]):
+            assert np.abs(
+                np.asarray(fc["box"]) - np.asarray(hc["box"])
+            ).max() < 2.0
+
+
 def test_beam_lm_rescoring_decodes(pipeline_runs):
     """decode='beam_lm': beam n-best reranked by the char-LM PLL picks a
     transcript per crop (reference P25 rerank recipe); output count and

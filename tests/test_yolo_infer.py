@@ -40,6 +40,29 @@ def test_run_graph_matches_flax(name, rng):
         assert close > 0.999
 
 
+def test_stem_s2d_matches_plain(rng):
+    """Space-to-depth stem rewrite (round-4): run_graph(stem_s2d=True) ==
+    run_graph(stem_s2d=False) — identical math, MXU-friendlier layout; and
+    decode survives bit-comparably (same argmax boxes)."""
+    from kuzu.models.yolo.detector import YoloDetector
+    from kuzu.models.yolo.infer import run_graph
+
+    det = YoloDetector("yolov12n", nc=3, dtype=jnp.bfloat16, imgsz=64)
+    v = det.init(jax.random.key(0), imgsz=64)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    ref = run_graph(det.spec, v, x, stem_s2d=False)
+    out = run_graph(det.spec, v, x, stem_s2d=True)
+    for r, o in zip(ref, out):
+        r32, o32 = np.asarray(r, np.float32), np.asarray(o, np.float32)
+        denom = np.maximum(np.abs(r32), 1.0)
+        assert (np.abs(r32 - o32) / denom).max() < 0.02
+    pr = np.asarray(det.decode(ref, imgsz=64))
+    po = np.asarray(det.decode(out, imgsz=64))
+    # same class argmax + near-identical boxes after decode
+    np.testing.assert_array_equal(pr[:, 4:].argmax(1), po[:, 4:].argmax(1))
+    np.testing.assert_allclose(pr[:, :4], po[:, :4], atol=0.5)
+
+
 def test_fused_c3k2_kernel_matches_flax(rng):
     """Pallas fused C3k2 (interpret mode) == flax C3k2 at stem config."""
     from kuzu.models.yolo import modules as M
