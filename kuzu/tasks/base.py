@@ -85,6 +85,14 @@ class BaseTrainer:
 
     def __init__(self, cfg: Config):
         self.cfg = cfg
+        # persistent XLA compile cache for EVERY trainer entry point (the
+        # CLI enabled it, but `python -m kuzu.tools.production` and other
+        # direct entries did not — each fresh process then re-autotuned
+        # the train graph, which is also the prime suspect for round-3's
+        # 228<->330 ms cross-process fusion-plan swing, PERFORMANCE.md)
+        from kuzu.core.cache import enable_compilation_cache
+
+        enable_compilation_cache()
         if str(cfg.get("optimizer", "auto")).lower() == "auto":
             # task-aware auto rule (the reference's optimizer='auto' also
             # resolves per-regime, ``engine/trainer.py`` build_optimizer):

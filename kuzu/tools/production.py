@@ -985,6 +985,9 @@ def _kv(args):
 
 
 def main(argv=None):
+    from kuzu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
         print(__doc__)
