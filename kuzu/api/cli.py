@@ -46,8 +46,12 @@ def main(argv: list[str] | None = None) -> int:
     if argv and "=" not in argv[0]:
         task = argv.pop(0)
         if task not in TASKS:
-            print(f"unknown task '{task}'\n{HELP}")
-            return 2
+            # registry-registered extras (nas/sam/fastsam/...) are valid too
+            from kuzu.api.model import task_map
+
+            if task not in task_map():
+                print(f"unknown task '{task}'\n{HELP}")
+                return 2
     cfg = load_config(overrides=argv)
     task = task or cfg.get("task", "detect")
     model = Model(str(cfg.get("model") or task), task=task)

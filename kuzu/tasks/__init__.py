@@ -10,6 +10,7 @@ import kuzu.tasks.obb  # noqa: F401
 import kuzu.tasks.pose  # noqa: F401
 import kuzu.tasks.segment  # noqa: F401
 import kuzu.models.fastsam  # noqa: F401  (registers 'fastsam')
+import kuzu.models.nas  # noqa: F401  (registers 'nas')
 import kuzu.tasks.sam  # noqa: F401
 
 __all__ = []

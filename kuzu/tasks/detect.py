@@ -48,6 +48,9 @@ class DetectTrainer(BaseTrainer):
     # parsed model spec so `train pose model=yolov8n` fails with a clear
     # message instead of a shape error deep inside the loss
     head_kind = "detect"
+    # model-construction hook: any YoloDetector-protocol class (NAS family
+    # swaps in kuzu.models.nas.NASDetector)
+    detector_cls = YoloDetector
 
     def build_datasets(self):
         cfg = self.cfg
@@ -103,7 +106,7 @@ class DetectTrainer(BaseTrainer):
         dtype = jnp.bfloat16 if cfg.get("dtype") == "bfloat16" else jnp.float32
         self.imgsz = int(cfg.get("imgsz", 640))
         name = str(cfg.get("model") or "yolov12n")
-        self.detector = YoloDetector(
+        self.detector = self.detector_cls(
             self._resolve_model(name), nc=self.data_spec["nc"], dtype=dtype,
             imgsz=self.imgsz, remat=bool(cfg.get("remat", False)),
             reg_max=(
@@ -260,6 +263,8 @@ class _EpochLoader(DataLoader):
 
 
 class DetectValidator:
+    trainer_cls: Any = None  # resolved to DetectTrainer below (class order)
+
     def __init__(self, cfg):
         self.cfg = cfg
 
@@ -273,7 +278,7 @@ class DetectValidator:
             from kuzu.core.config import rebase_on_run_config
 
             cfg = rebase_on_run_config(cfg, run_dir)
-        trainer = DetectTrainer(cfg)
+        trainer = (self.trainer_cls or DetectTrainer)(cfg)
         trainer.train_loader, trainer.val_loader = trainer.build_datasets()
         params = trainer.build_model()
         from kuzu.core.checkpoint import CheckpointManager
@@ -303,6 +308,8 @@ class DetectValidator:
 class DetectPredictor:
     """Load a trained run dir; predict padded detections on images."""
 
+    detector_cls = YoloDetector
+
     def __init__(self, cfg):
         self.cfg = cfg
         self.ready = False
@@ -320,7 +327,7 @@ class DetectPredictor:
         data_spec = load_dataset_yaml(train_cfg.data)
         self.names = data_spec.get("names", {})
         arch = str(train_cfg.get("model") or "yolov12n")
-        self.detector = YoloDetector(
+        self.detector = self.detector_cls(
             self._resolve_arch(arch, data_spec), nc=data_spec["nc"],
             imgsz=self.imgsz,
             reg_max=(
