@@ -262,6 +262,13 @@ class KuzushijiPipeline:
         ship_once: bool = True,  # equal-shape page batches cross the
         # tunnel once as raw uint8; letterbox/tiles/crops derive on device
         # (device_pages.py). Auto-falls-back for mixed shapes or dp>0.
+        transport: str = "rgb",  # 'yc' ships full-res luma + 4x-subsampled
+        # chroma (2.7x fewer tunnel bytes; device_pages.pack_yc) and
+        # reconstructs RGB on device. Only affects the ship_once path.
+        col_imgsz: int | None = None,  # run column detection on a smaller
+        # on-device letterbox of the page (e.g. 960 instead of the model's
+        # train size); compute drops quadratically, boxes still unscale to
+        # page pixels. None = the column model's own imgsz.
     ):
         from kuzu.core.config import load_config
 
@@ -275,6 +282,8 @@ class KuzushijiPipeline:
         self.lm_weight = lm_weight
         self.lm_mode = lm_mode
         self.ship_once = ship_once
+        self.transport = transport
+        self.col_imgsz = int(col_imgsz) if col_imgsz else None
         self.col_dedup = col_dedup
         self.col_refine = col_refine
         self.col_recover = col_recover
@@ -673,18 +682,22 @@ class KuzushijiPipeline:
         return [float(scores[i]) if lens[i] > 2 else 0.0 for i in range(t)]
 
     # ------------------------------------------------ ship-once device path
-    def _detect_pages_device(self, predictor, pages_dev, hw) -> list[dict]:
+    def _detect_pages_device(
+        self, predictor, pages_dev, hw, imgsz: int | None = None
+    ) -> list[dict]:
         """Full-page detection over a device-resident uint8 page batch:
         letterbox ON DEVICE + the predictor's fused forward in one jit
         (cached per (shape, imgsz)); boxes unscale to page pixels on host
-        exactly like DetectPredictor._predict_frames."""
+        exactly like DetectPredictor._predict_frames. ``imgsz`` overrides
+        the predictor's input side (the anchor-free decode derives its
+        grids from the actual map shapes, so any size lowers cleanly)."""
         import jax
 
         from kuzu.pipeline.device_pages import device_letterbox
 
         if not predictor.ready:
             predictor._setup()
-        imgsz = predictor.imgsz
+        imgsz = int(imgsz or predictor.imgsz)
         key = ("pages", tuple(pages_dev.shape), imgsz)
         cache = getattr(self, "_dev_fwd_cache", None)
         if cache is None:
@@ -926,11 +939,22 @@ class KuzushijiPipeline:
                 stack = np.concatenate(
                     [stack, np.zeros_like(stack[:1]).repeat(nb - b, 0)]
                 )
-            pages_dev = jax.device_put(stack)
+            h0, w0 = stack.shape[1:3]
+            if self.transport == "yc" and h0 % 4 == 0 and w0 % 4 == 0:
+                from kuzu.pipeline.device_pages import pack_yc, unpack_yc
+
+                unpack = getattr(self, "_unpack_jit", None)
+                if unpack is None:
+                    unpack = self._unpack_jit = jax.jit(unpack_yc)
+                y, c = pack_yc(stack)
+                pages_dev = unpack(jax.device_put(y), jax.device_put(c))
+            else:
+                pages_dev = jax.device_put(stack)
             col_dets = [
                 self._dedup(d)
                 for d in self._detect_pages_device(
-                    self.column_det, pages_dev, images[0].shape[:2]
+                    self.column_det, pages_dev, images[0].shape[:2],
+                    imgsz=self.col_imgsz,
                 )[:b]
             ]
         else:
@@ -994,10 +1018,14 @@ class KuzushijiPipeline:
                 # snap each column to its char support; refined duplicates
                 # collapse onto the same segment, so dedup again
                 for pi, det in enumerate(col_dets):
+                    ph, pw = images[pi].shape[:2]
                     boxes = np.asarray(det["boxes"])
                     cb = np.asarray(char_pages[pi]["boxes"])
                     if len(boxes):
                         ref, ok = refine_columns_by_chars(boxes, cb)
+                        # char-union +- pad can step past the page edge
+                        ref[:, [0, 2]] = ref[:, [0, 2]].clip(0, pw)
+                        ref[:, [1, 3]] = ref[:, [1, 3]].clip(0, ph)
                         det = self._dedup(
                             {
                                 "boxes": ref[ok],
@@ -1015,6 +1043,8 @@ class KuzushijiPipeline:
                             np.asarray(det["boxes"]),
                         )
                         if len(ob):
+                            ob[:, [0, 2]] = ob[:, [0, 2]].clip(0, pw)
+                            ob[:, [1, 3]] = ob[:, [1, 3]].clip(0, ph)
                             det = self._dedup(
                                 {
                                     "boxes": np.concatenate(

@@ -63,6 +63,59 @@ def device_letterbox(pages, size, fill: int = 114):
     return canvas, gain, (px, py)
 
 
+def pack_yc(pages, stride: int = 4):
+    """Host side of the chroma-subsampled transport: RGB uint8
+    (B, H, W, 3) -> (Y (B, H, W, 1), CrCb (B, H/s, W/s, 2)) uint8.
+
+    Kuzushiji pages are near-monochrome ink on warm paper — chroma is
+    low-frequency, so full-res luma + s*s mean-pooled chroma carries the
+    page in ~(1 + 2/s^2)/3 of the bytes (2.7x fewer at s=4). The
+    detectors train with JPEG augmentation (4:2:0 chroma), so the
+    reconstruction error is inside the training distribution. cv2 does
+    the colorspace + pooling (SIMD) so host cost stays small on the
+    1-core production host."""
+    import cv2
+
+    b, h, w, _ = pages.shape
+    assert h % stride == 0 and w % stride == 0, (h, w, stride)
+    ys, cs = [], []
+    for im in pages:
+        ycc = cv2.cvtColor(im, cv2.COLOR_RGB2YCrCb)
+        ys.append(ycc[..., 0])
+        cs.append(
+            cv2.resize(
+                ycc[..., 1:], (w // stride, h // stride),
+                interpolation=cv2.INTER_AREA,
+            )
+        )
+    import numpy as np
+
+    return np.stack(ys)[..., None], np.stack(cs)
+
+
+def unpack_yc(y, c):
+    """Device side: (Y, CrCb) uint8 -> RGB uint8 (B, H, W, 3) under jit
+    (bilinear chroma upsample + cv2's full-range YCrCb inverse)."""
+    import jax.numpy as jnp
+
+    b, h, w, _ = y.shape
+    cf = jax.image.resize(
+        c.astype(jnp.float32), (b, h, w, 2), method="linear", antialias=False
+    )
+    yf = y.astype(jnp.float32)[..., 0]
+    cr = cf[..., 0] - 128.0
+    cb = cf[..., 1] - 128.0
+    rgb = jnp.stack(
+        [
+            yf + 1.403 * cr,
+            yf - 0.714 * cr - 0.344 * cb,
+            yf + 1.773 * cb,
+        ],
+        axis=-1,
+    )
+    return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
+
+
 def tile_bounds_px(h: int, w: int, grid: int, overlap: float):
     """Pixel tile bounds, identical ints to `tiling.tile_image`."""
     return [

@@ -596,6 +596,8 @@ def production_pipeline(
     rec: str = "rec",
     col_conf: float = 0.002,
     lm_mode: str = "annotate",
+    transport: str = "rgb",
+    col_imgsz: int = 0,
 ):
     """``rec`` picks the recognizer family: ``rec`` = the AR TrOCR run,
     ``ctc`` = the CTC CRNN run trained on the same columns (the cascade
@@ -625,12 +627,14 @@ def production_pipeline(
         max_det=2000,
         dp=dp,  # multi-chip serving (v5e-8): shard every stage's batch
         lm_mode=lm_mode,
+        transport=transport,
+        col_imgsz=col_imgsz or None,
     )
 
 
 def bench(
     root: Path, pages: int = 16, reps: int = 3, dp: int = 0, rec: str = "rec",
-    lm_mode: str | None = None,
+    lm_mode: str | None = None, transport: str = "rgb", col_imgsz: int = 0,
 ) -> dict:
     """Production-configuration cascade pages/s (yolov12x-P2P5 char det with
     2x2 tiling + full-size TrOCR + LM rescoring), on the val pages.
@@ -641,7 +645,10 @@ def bench(
     root = Path(root)
     if lm_mode is None:
         lm_mode = "off"  # greedy production decode: annotation only
-    pipe = production_pipeline(root, dp=int(dp), rec=rec, lm_mode=lm_mode)
+    pipe = production_pipeline(
+        root, dp=int(dp), rec=rec, lm_mode=lm_mode, transport=transport,
+        col_imgsz=int(col_imgsz),
+    )
     paths = sorted((root / "char/images/val").glob("*.jpg"))[:pages]
     assert paths, "run synth + train first"
     # warmup (compiles)
@@ -669,7 +676,8 @@ def bench(
 
 
 def profile(
-    root: Path, pages: int = 16, reps: int = 2, dp: int = 0, rec: str = "rec"
+    root: Path, pages: int = 16, reps: int = 2, dp: int = 0, rec: str = "rec",
+    transport: str = "rgb", col_imgsz: int = 0,
 ) -> dict:
     """Differential stage timing of the production cascade: re-run
     ``process_pages`` with trailing stages successively disabled and report
@@ -677,7 +685,9 @@ def profile(
     tunnel (no ``block_until_ready`` across it) and exercise exactly the
     production code path, so the split is what the user actually pays."""
     root = Path(root)
-    pipe = production_pipeline(root, dp=int(dp), rec=rec)
+    pipe = production_pipeline(
+        root, dp=int(dp), rec=rec, transport=transport, col_imgsz=int(col_imgsz)
+    )
     paths = sorted((root / "char/images/val").glob("*.jpg"))[:pages]
     assert paths, "run synth + train first"
 
@@ -711,7 +721,10 @@ def profile(
     return res
 
 
-def quality(root: Path, rec: str = "rec", col_conf: float = 0.002) -> dict:
+def quality(
+    root: Path, rec: str = "rec", col_conf: float = 0.002,
+    transport: str = "rgb", col_imgsz: int = 0,
+) -> dict:
     """Dense-regime quality: char-detector mAP on full 1280-px val pages
     through the tiled path at max_det=2000, plus recognizer CER on held-out
     columns (the metrics scripts/evaluation.py reports)."""
@@ -721,7 +734,10 @@ def quality(root: Path, rec: str = "rec", col_conf: float = 0.002) -> dict:
     from kuzu.data.tokenizer import CharTokenizer
 
     root = Path(root)
-    pipe = production_pipeline(root, rec=rec, col_conf=col_conf)
+    pipe = production_pipeline(
+        root, rec=rec, col_conf=col_conf, transport=transport,
+        col_imgsz=int(col_imgsz),
+    )
     dm = DetMetrics()
     for pth in sorted((root / "char/images/val").glob("*.jpg")):
         det = pipe.detect_chars(pth)

@@ -451,6 +451,46 @@ def test_ship_once_matches_host_path(pipeline_runs):
             ).max() < 2.0
 
 
+def test_yc_transport_and_col_imgsz_e2e(pipeline_runs):
+    """Round-4 transport flags through the full ship-once path:
+    `transport='yc'` (chroma-subsampled tunnel bytes, reconstructed on
+    device) must reproduce the RGB path's columns and texts on the toy
+    page, and `col_imgsz` must run column detection at a non-train
+    letterbox size and still return page-frame boxes."""
+    from kuzu.pipeline.cascade import KuzushijiPipeline
+
+    kw = dict(
+        column_model=pipeline_runs["det"],
+        char_model=pipeline_runs["det"],
+        recognizer=pipeline_runs["rec"],
+        conf=0.001,
+        tile_grid=2,
+        max_det=2000,
+        ship_once=True,
+    )
+    pages = [pipeline_runs["page"]] * 2
+    rgb = KuzushijiPipeline(**kw).process_pages(pages)
+    yc = KuzushijiPipeline(**kw, transport="yc").process_pages(pages)
+    assert len(yc) == len(rgb) == 2
+    for a, b in zip(yc, rgb):
+        assert len(a["columns"]) == len(b["columns"]) > 0
+        assert [c["text"] for c in a["columns"]] == [
+            c["text"] for c in b["columns"]
+        ]
+        for ca, cb in zip(a["columns"], b["columns"]):
+            assert np.abs(
+                np.asarray(ca["box"]) - np.asarray(cb["box"])
+            ).max() < 3.0
+
+    # non-train column letterbox size: lowers cleanly, boxes in page frame
+    small = KuzushijiPipeline(**kw, col_imgsz=128).process_pages(pages)
+    for r in small:
+        assert len(r["columns"]) > 0
+        for col in r["columns"]:
+            x1, y1, x2, y2 = col["box"]
+            assert 0 <= x1 < x2 <= 192 and 0 <= y1 < y2 <= 192
+
+
 def test_beam_lm_rescoring_decodes(pipeline_runs):
     """decode='beam_lm': beam n-best reranked by the char-LM PLL picks a
     transcript per crop (reference P25 rerank recipe); output count and

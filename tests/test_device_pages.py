@@ -73,3 +73,43 @@ def test_device_crops_match_host_letterbox(pages):
         nh, nw = int(crop.shape[0] * gain), int(crop.shape[1] * gain)
         assert (out[i][nh + 1 :] == 255).all()
         assert (out[i][:, nw + 1 :] == 255).all()
+
+
+def test_yc_transport_roundtrip(pages):
+    """Chroma-subsampled transport: Y carries luma exactly (to rounding);
+    the reconstructed RGB stays within JPEG-aug-level error on warm-toned
+    ink-on-paper content (kuzu/pipeline/device_pages.py::pack_yc)."""
+    from kuzu.pipeline.device_pages import pack_yc, unpack_yc
+
+    # warm paper + dark ink strokes, like the production pages
+    rng = np.random.default_rng(0)
+    page = np.full((64, 64, 3), (246, 232, 190), np.uint8)
+    for _ in range(6):
+        x, y = rng.integers(4, 48, 2)
+        page[y : y + 12, x : x + 3] = (40, 30, 25)
+    batch = np.stack([page, np.flip(page, 1)])
+
+    y, c = pack_yc(batch, stride=4)
+    assert y.shape == (2, 64, 64, 1) and c.shape == (2, 16, 16, 2)
+    # transport bytes: (1 + 2/16) / 3 of raw RGB
+    assert (y.nbytes + c.nbytes) / batch.nbytes < 0.38
+
+    rec = np.asarray(jax.jit(unpack_yc)(jnp.asarray(y), jnp.asarray(c)))
+    assert rec.shape == batch.shape and rec.dtype == np.uint8
+    err = np.abs(rec.astype(np.int16) - batch.astype(np.int16))
+    # paper regions reconstruct almost exactly; stroke edges bleed chroma
+    assert np.median(err) <= 2, np.median(err)
+    assert err.mean() < 6, err.mean()
+    # luminance is preserved everywhere (chroma subsampling never touches Y)
+    lum = batch.astype(np.float32) @ np.array([0.299, 0.587, 0.114])
+    lum_rec = rec.astype(np.float32) @ np.array([0.299, 0.587, 0.114])
+    assert np.abs(lum - lum_rec).mean() < 3.5
+
+
+def test_cascade_transport_flag_plumbs():
+    from kuzu.pipeline.cascade import KuzushijiPipeline
+
+    p = KuzushijiPipeline(transport="yc", col_imgsz=960)
+    assert p.transport == "yc" and p.col_imgsz == 960
+    p = KuzushijiPipeline()
+    assert p.transport == "rgb" and p.col_imgsz is None
