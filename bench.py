@@ -60,7 +60,10 @@ def bench_detector(model: str = "yolov12x", batch: int = 8, imgsz: int = 640, re
     # baked into the HLO as constants and can exceed compile-request limits
     @jax.jit
     def run(variables, imgs, c):
-        feats = run_graph(det.spec, variables, imgs + c * 1e-30)
+        # stem_s2d: space-to-depth stem rewrite — same NMS keep set, measured
+        # 3.278 -> 3.213 ms/img on chip (r4 A/B); the production cascade path
+        # (detector.forward_fused) defaults to it too.
+        feats = run_graph(det.spec, variables, imgs + c * 1e-30, stem_s2d=True)
         pred = det.decode(feats, imgsz=imgsz)
         out = non_max_suppression(pred, conf_thres=0.25, max_det=300)
         return out["scores"].sum() + c

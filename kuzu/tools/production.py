@@ -580,10 +580,19 @@ def train_stage(root: Path, stage: str, **overrides) -> dict:
 
 
 def _jsonable(d):
-    return {
-        k: (float(v) if isinstance(v, (int, float, np.floating)) else str(v))
-        for k, v in d.items()
-    }
+    return {k: _jsonable_v(v) for k, v in d.items()}
+
+
+def _jsonable_v(v):
+    if isinstance(v, (bool, str)) or v is None:
+        return v
+    if isinstance(v, (int, float, np.integer, np.floating)):
+        return float(v)
+    if isinstance(v, dict):
+        return _jsonable(v)
+    if isinstance(v, (list, tuple)):
+        return [_jsonable_v(x) for x in v]
+    return str(v)
 
 
 # ------------------------------------------------------------------ bench
@@ -1011,21 +1020,34 @@ def main(argv=None):
     cmd, kv = argv[0], _kv(argv[1:])
     root = Path(kv.pop("root", "runs/production"))
     if cmd == "synth":
-        synth_dense_pages(root, **kv)
+        summary = synth_dense_pages(root, **kv)
     elif cmd == "train":
-        train_stage(root, str(kv.pop("stage", "all")), **kv)
+        summary = train_stage(root, str(kv.pop("stage", "all")), **kv)
     elif cmd == "bench":
-        bench(root, **kv)
+        summary = bench(root, **kv)
     elif cmd == "profile":
-        profile(root, **kv)
+        summary = profile(root, **kv)
     elif cmd == "quality":
-        quality(root, **kv)
+        summary = quality(root, **kv)
     elif cmd == "sample":
-        sample(root, kv.pop("out", None), **kv)
+        summary = sample(root, kv.pop("out", None), **kv)
     elif cmd == "real":
-        real(root, **kv)
+        summary = real(root, **kv)
     else:
         raise SystemExit(f"unknown command {cmd}")
+    # Durable ledger: chain logs and checkpoints live in the untracked
+    # runs/ tree, which dies with the container (it happened mid-round-4).
+    # Every stage summary also lands in the git-tracked results/ ledger so
+    # measured numbers survive host recycling even when weights don't.
+    try:
+        ledger = Path(__file__).resolve().parents[2] / "results" / "production.jsonl"
+        ledger.parent.mkdir(parents=True, exist_ok=True)
+        row = {"cmd": cmd, "root": str(root), "ts": time.time()}
+        row.update({k: _jsonable_v(v) for k, v in (summary or {}).items()})
+        with ledger.open("a", encoding="utf-8") as f:
+            f.write(json.dumps(row, ensure_ascii=False) + "\n")
+    except Exception as e:  # noqa: BLE001 — the ledger must never break a stage
+        print(f"[ledger] skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":
