@@ -1040,7 +1040,12 @@ def main(argv=None):
     # Every stage summary also lands in the git-tracked results/ ledger so
     # measured numbers survive host recycling even when weights don't.
     try:
-        ledger = Path(__file__).resolve().parents[2] / "results" / "production.jsonl"
+        import os
+
+        ledger_dir = os.environ.get("KUZU_RESULTS_DIR") or str(
+            Path(__file__).resolve().parents[2] / "results"
+        )
+        ledger = Path(ledger_dir) / "production.jsonl"
         ledger.parent.mkdir(parents=True, exist_ok=True)
         row = {"cmd": cmd, "root": str(root), "ts": time.time()}
         row.update({k: _jsonable_v(v) for k, v in (summary or {}).items()})
