@@ -514,7 +514,9 @@ def train_stage(root: Path, stage: str, **overrides) -> dict:
             m.train(
                 data=str(root / "char_tiled" / "dataset.yaml"),
                 imgsz=640, epochs=int(overrides.get("char_epochs", 60)),
-                batch=8, dtype="bfloat16", remat=True,
+                # remat off: with the flash VJP in the graph the step fits in
+                # 11.4 GB and runs 178 vs 231-310 ms/step (r4_step2.py A/B).
+                batch=8, dtype="bfloat16", remat=False,
                 max_boxes=400, max_det=2000, conf=0.25,
                 project=str(root / "runs"), name="char", exist_ok=True,
                 workers=2, cache_images="ram",
