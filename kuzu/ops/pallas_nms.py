@@ -71,14 +71,127 @@ def _nms_kernel(
     keep_ref[b] = jnp.where(sup_ref[:] == 0.0, 1.0, 0.0) * valid
 
 
-@functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))
+def _nms_kernel_chunked(
+    x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, keep_ref, sup_ref, over_ref,
+    *, iou_threshold: float,
+):
+    """Chunked greedy pass: one 128-lane row of pivots at a time.
+
+    Same keep semantics (bit-identical: same f32 IoU expression, same
+    comparisons) as ``_nms_kernel``, but the O(K) serial loop of full
+    (S, L)-wide ops becomes, per row chunk:
+
+      1. one (L, L) intra-row IoU matrix build (dense VPU work),
+      2. an L-step greedy recurrence on (1, L) tiles (16x narrower than
+         the unchunked loop's (S, L) steps), reading rows of the matrix
+         from a VMEM scratch via dynamic sublane slices,
+      3. one batched (L, S-c-1, L) cross-suppression of all kept row
+         pivots against every later box (replaces L full-tile loop
+         iterations); the chunk index is trace-static so the later-rows
+         slice is static — triangular, ~half the masked-full-tile work.
+
+    over_ref: (L, L) VMEM scratch holding the intra-row over-threshold
+    matrix so step 2 can dynamic-slice rows.
+    """
+    b = pl.program_id(0)
+    s, l = x1_ref.shape[1], x1_ref.shape[2]
+    x1 = x1_ref[b]  # (S, L)
+    y1 = y1_ref[b]
+    x2 = x2_ref[b]
+    y2 = y2_ref[b]
+    valid = valid_ref[b]
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+    sup_ref[:] = jnp.zeros((s, l), jnp.float32)
+
+    # lane->sublane "transpose" of a (1, L) row via masked reduction —
+    # avoids relying on Mosaic relayout support for tiny transposes
+    eq = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (l, l), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (l, l), 1),
+        1.0,
+        0.0,
+    )
+    def col(row):  # (1, L) -> (L, 1)
+        return jnp.sum(eq * row, axis=1, keepdims=True)
+
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (l, l), 0)
+    lane_j = jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, l), 1)
+
+    for c in range(s):  # static unroll: S is small (K/128)
+        rx1, ry1 = x1[c : c + 1], y1[c : c + 1]  # (1, L)
+        rx2, ry2 = x2[c : c + 1], y2[c : c + 1]
+        rvalid = valid[c : c + 1]
+        rarea = area[c : c + 1]
+        px1, py1, px2, py2 = col(rx1), col(ry1), col(rx2), col(ry2)  # (L, 1)
+        parea = col(rarea)
+
+        # intra-row over matrix: pivot i (sublane) suppresses j (lane), j > i
+        iw = jnp.maximum(jnp.minimum(px2, rx2) - jnp.maximum(px1, rx1), 0.0)
+        ih = jnp.maximum(jnp.minimum(py2, ry2) - jnp.maximum(py1, ry1), 0.0)
+        inter = iw * ih
+        iou = inter / (parea + rarea - inter + 1e-7)
+        over_ref[:] = jnp.where(
+            (iou > iou_threshold) & (lane_j > lane_i), rvalid, 0.0
+        )
+
+        def step(i, sup_row):
+            over_i = over_ref[pl.ds(i, 1), :]  # (1, L)
+            sel = lane1 == i
+            kept_i = (jnp.sum(jnp.where(sel, sup_row, 0.0)) == 0.0) & (
+                jnp.sum(jnp.where(sel, rvalid, 0.0)) != 0.0
+            )
+            return jnp.maximum(sup_row, jnp.where(kept_i, over_i, 0.0))
+
+        sup_row = jax.lax.fori_loop(0, l, step, sup_ref[c : c + 1])
+        sup_ref[c : c + 1] = sup_row
+
+        if c < s - 1:
+            kept = jnp.where((sup_row == 0.0) & (rvalid != 0.0), 1.0, 0.0)
+            k3 = col(kept)[:, :, None]  # (L, 1, 1)
+            qx1, qy1 = px1[:, :, None], py1[:, :, None]
+            qx2, qy2 = px2[:, :, None], py2[:, :, None]
+            qarea = parea[:, :, None]
+            # later rows only — c is trace-static, so the slice is static.
+            # (slice, THEN expand_dims: `arr[None, c+1:]` mixed indexing
+            # lowers to lax.gather, which Mosaic cannot lower here)
+            def later(t):  # (S, L) -> (1, S-c-1, L)
+                return jnp.expand_dims(t[c + 1 :], 0)
+
+            tx1, ty1, tx2, ty2 = later(x1), later(y1), later(x2), later(y2)
+            tvalid, tarea = later(valid), later(area)
+            iw3 = jnp.maximum(
+                jnp.minimum(qx2, tx2) - jnp.maximum(qx1, tx1), 0.0
+            )  # (L, S-c-1, L)
+            ih3 = jnp.maximum(
+                jnp.minimum(qy2, ty2) - jnp.maximum(qy1, ty1), 0.0
+            )
+            inter3 = iw3 * ih3
+            iou3 = inter3 / (qarea + tarea - inter3 + 1e-7)
+            hit = jnp.where(iou3 > iou_threshold, tvalid * k3, 0.0)
+            sup_ref[c + 1 :] = jnp.maximum(
+                sup_ref[c + 1 :], jnp.max(hit, axis=0)
+            )
+
+    keep_ref[b] = jnp.where(sup_ref[:] == 0.0, 1.0, 0.0) * valid
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iou_threshold", "interpret", "chunked")
+)
 def pallas_suppress(
     boxes: jnp.ndarray,  # (B, K, 4) f32, score-desc sorted
     valid: jnp.ndarray,  # (B, K) bool
     iou_threshold: float = 0.45,
     interpret: bool = False,
+    chunked: bool = True,
 ) -> jnp.ndarray:
-    """Batched keep-mask via the Pallas kernel. K must be 128-aligned."""
+    """Batched keep-mask via the Pallas kernel. K must be 128-aligned.
+
+    chunked=True (default) runs the row-chunked greedy pass — bit-identical
+    keeps, measured faster on chip (PERFORMANCE.md "Round-4 kernel work");
+    False keeps the original full-tile serial kernel for A/B.
+    """
     b, k, _ = boxes.shape
     assert k % LANES == 0, f"K={k} must be a multiple of {LANES}"
     s = k // LANES
@@ -86,13 +199,21 @@ def pallas_suppress(
         boxes[..., i].astype(jnp.float32).reshape(b, s, LANES) for i in range(4)
     ]
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((s, LANES), jnp.float32)]
+    if chunked:
+        kernel = functools.partial(
+            _nms_kernel_chunked, iou_threshold=iou_threshold
+        )
+        scratch.append(pltpu.VMEM((LANES, LANES), jnp.float32))
+    else:
+        kernel = functools.partial(_nms_kernel, iou_threshold=iou_threshold)
     keep = pl.pallas_call(
-        functools.partial(_nms_kernel, iou_threshold=iou_threshold),
+        kernel,
         grid=(b,),
         in_specs=[full] * 5,
         out_specs=full,
         out_shape=jax.ShapeDtypeStruct((b, s, LANES), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((s, LANES), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*planes, valid.astype(jnp.float32).reshape(b, s, LANES))
     return keep.reshape(b, k).astype(bool)

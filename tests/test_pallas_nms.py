@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from kuzu.ops.nms import _suppress
 from kuzu.ops.pallas_nms import pallas_suppress
@@ -14,14 +15,19 @@ def _rand_sorted(rng, b, k):
     return boxes
 
 
-def test_pallas_matches_scan(rng):
+@pytest.mark.parametrize("chunked", [False, True])
+def test_pallas_matches_scan(rng, chunked):
     b, k = 2, 256
     boxes = _rand_sorted(rng, b, k)
     valid = np.ones((b, k), bool)
     valid[:, -10:] = False
     keep_pl = np.asarray(
         pallas_suppress(
-            jnp.asarray(boxes), jnp.asarray(valid), iou_threshold=0.5, interpret=True
+            jnp.asarray(boxes),
+            jnp.asarray(valid),
+            iou_threshold=0.5,
+            interpret=True,
+            chunked=chunked,
         )
     )
     for i in range(b):
