@@ -176,21 +176,134 @@ def _nms_kernel_chunked(
     keep_ref[b] = jnp.where(sup_ref[:] == 0.0, 1.0, 0.0) * valid
 
 
+def _nms_kernel_batched(
+    x1_ref, y1_ref, x2_ref, y2_ref, valid_ref, keep_ref, sup_ref, over_ref,
+    *, iou_threshold: float,
+):
+    """Image-batched chunked greedy pass (no grid: one program, all B).
+
+    The grid-over-images kernels run their serial recurrence B times on
+    the single TensorCore (B*K steps total). Here the L-step greedy
+    recurrence for row chunk c advances ALL images at once on (B, 1, L)
+    tiles — K serial steps total, an 8x cut at B=8 — while the dense
+    intra-row IoU matrix is built batched as (B, L, L) and the cheap
+    cross-suppression stays per-image (4D temps would blow the 16 MB
+    scoped-VMEM limit). Keep semantics bit-identical to ``_nms_kernel``.
+
+    over_ref: (B, L, L) VMEM scratch of intra-row over-threshold matrices.
+    """
+    b, s, l = x1_ref.shape
+    x1 = x1_ref[:]  # (B, S, L)
+    y1 = y1_ref[:]
+    x2 = x2_ref[:]
+    y2 = y2_ref[:]
+    valid = valid_ref[:]
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
+    sup_ref[:] = jnp.zeros((b, s, l), jnp.float32)
+
+    eq = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (l, l), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (l, l), 1),
+        1.0,
+        0.0,
+    )
+
+    def col3(row):  # (B, 1, L) -> (B, L, 1)
+        return jnp.sum(eq[None] * row, axis=2, keepdims=True)
+
+    # 3D iotas directly: Mosaic rejects rank-expanding reshapes of i1,
+    # so (lane_j > lane_i)[None] is not an option
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, l, l), 1)
+    lane_j = jax.lax.broadcasted_iota(jnp.int32, (1, l, l), 2)
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, l), 2)
+
+    for c in range(s):
+        rx1, ry1 = x1[:, c : c + 1, :], y1[:, c : c + 1, :]  # (B, 1, L)
+        rx2, ry2 = x2[:, c : c + 1, :], y2[:, c : c + 1, :]
+        rvalid = valid[:, c : c + 1, :]
+        rarea = area[:, c : c + 1, :]
+        px1, py1, px2, py2 = col3(rx1), col3(ry1), col3(rx2), col3(ry2)
+        parea = col3(rarea)  # (B, L, 1)
+
+        iw = jnp.maximum(jnp.minimum(px2, rx2) - jnp.maximum(px1, rx1), 0.0)
+        ih = jnp.maximum(jnp.minimum(py2, ry2) - jnp.maximum(py1, ry1), 0.0)
+        inter = iw * ih  # (B, L, L)
+        iou = inter / (parea + rarea - inter + 1e-7)
+        over_ref[:] = jnp.where(
+            (iou > iou_threshold) & (lane_j > lane_i), rvalid, 0.0
+        )
+
+        def step(i, sup_row):  # sup_row (B, 1, L)
+            over_i = over_ref[:, pl.ds(i, 1), :]  # (B, 1, L)
+            sel = lane3 == i
+            ksum = jnp.sum(jnp.where(sel, sup_row, 0.0), axis=2, keepdims=True)
+            vsum = jnp.sum(jnp.where(sel, rvalid, 0.0), axis=2, keepdims=True)
+            kept = (ksum == 0.0) & (vsum != 0.0)  # (B, 1, 1)
+            return jnp.maximum(sup_row, jnp.where(kept, over_i, 0.0))
+
+        sup_row = jax.lax.fori_loop(0, l, step, sup_ref[:, c : c + 1, :])
+        sup_ref[:, c : c + 1, :] = sup_row
+
+        if c < s - 1:
+            kept_rows = jnp.where(
+                (sup_row == 0.0) & (rvalid != 0.0), 1.0, 0.0
+            )  # (B, 1, L)
+            kept_cols = col3(kept_rows)  # (B, L, 1)
+            for bb in range(b):  # per-image 3D cross pass (VMEM-bounded)
+                k3 = jnp.expand_dims(kept_cols[bb], 2)  # (L, 1, 1)
+                qx1 = jnp.expand_dims(px1[bb], 2)
+                qy1 = jnp.expand_dims(py1[bb], 2)
+                qx2 = jnp.expand_dims(px2[bb], 2)
+                qy2 = jnp.expand_dims(py2[bb], 2)
+                qarea = jnp.expand_dims(parea[bb], 2)
+
+                def later(t):  # (B, S, L) -> (1, S-c-1, L)
+                    return jnp.expand_dims(t[bb][c + 1 :], 0)
+
+                iw3 = jnp.maximum(
+                    jnp.minimum(qx2, later(x2)) - jnp.maximum(qx1, later(x1)),
+                    0.0,
+                )  # (L, S-c-1, L)
+                ih3 = jnp.maximum(
+                    jnp.minimum(qy2, later(y2)) - jnp.maximum(qy1, later(y1)),
+                    0.0,
+                )
+                inter3 = iw3 * ih3
+                iou3 = inter3 / (qarea + later(area) - inter3 + 1e-7)
+                hit = jnp.where(
+                    iou3 > iou_threshold, later(valid) * k3, 0.0
+                )
+                sup_ref[bb, c + 1 :] = jnp.maximum(
+                    sup_ref[bb, c + 1 :], jnp.max(hit, axis=0)
+                )
+
+    keep_ref[:] = jnp.where(sup_ref[:] == 0.0, 1.0, 0.0) * valid
+
+
+_KERNELS = {
+    "full": _nms_kernel,
+    "chunked": _nms_kernel_chunked,
+    "batched": _nms_kernel_batched,
+}
+
+
 @functools.partial(
-    jax.jit, static_argnames=("iou_threshold", "interpret", "chunked")
+    jax.jit, static_argnames=("iou_threshold", "interpret", "variant")
 )
 def pallas_suppress(
     boxes: jnp.ndarray,  # (B, K, 4) f32, score-desc sorted
     valid: jnp.ndarray,  # (B, K) bool
     iou_threshold: float = 0.45,
     interpret: bool = False,
-    chunked: bool = True,
+    variant: str = "batched",
 ) -> jnp.ndarray:
     """Batched keep-mask via the Pallas kernel. K must be 128-aligned.
 
-    chunked=True (default) runs the row-chunked greedy pass — bit-identical
-    keeps, measured faster on chip (PERFORMANCE.md "Round-4 kernel work");
-    False keeps the original full-tile serial kernel for A/B.
+    variant: "batched" (default — image-batched chunked greedy, 0.65 ms
+    vs 2.91 full / 2.74 chunked at B=8 K=2048 on chip), "chunked"
+    (grid-over-images row chunking), or "full" (the original full-tile
+    serial kernel). All three produce bit-identical keeps; chip timings
+    in PERFORMANCE.md "Round-4 kernel work: chunked NMS".
     """
     b, k, _ = boxes.shape
     assert k % LANES == 0, f"K={k} must be a multiple of {LANES}"
@@ -199,17 +312,23 @@ def pallas_suppress(
         boxes[..., i].astype(jnp.float32).reshape(b, s, LANES) for i in range(4)
     ]
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    scratch = [pltpu.VMEM((s, LANES), jnp.float32)]
-    if chunked:
-        kernel = functools.partial(
-            _nms_kernel_chunked, iou_threshold=iou_threshold
-        )
-        scratch.append(pltpu.VMEM((LANES, LANES), jnp.float32))
+    kernel = functools.partial(
+        _KERNELS[variant], iou_threshold=iou_threshold
+    )
+    if variant == "batched":
+        grid = ()
+        scratch = [
+            pltpu.VMEM((b, s, LANES), jnp.float32),
+            pltpu.VMEM((b, LANES, LANES), jnp.float32),
+        ]
     else:
-        kernel = functools.partial(_nms_kernel, iou_threshold=iou_threshold)
+        grid = (b,)
+        scratch = [pltpu.VMEM((s, LANES), jnp.float32)]
+        if variant == "chunked":
+            scratch.append(pltpu.VMEM((LANES, LANES), jnp.float32))
     keep = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=grid,
         in_specs=[full] * 5,
         out_specs=full,
         out_shape=jax.ShapeDtypeStruct((b, s, LANES), jnp.float32),

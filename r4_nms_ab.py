@@ -1,4 +1,4 @@
-"""Chip A/B: chunked vs full-tile Pallas NMS kernel (round 4).
+"""Chip A/B: batched vs chunked vs full-tile Pallas NMS kernel (round 4).
 
 Timing per the verify-skill methodology: the rep loop is a `lax.scan`
 inside one jit whose carry perturbs the scores (prevents hoisting) and
@@ -26,17 +26,17 @@ boxes_d = jnp.asarray(boxes)
 valid_d = jnp.asarray(valid_np)
 
 # --- parity on chip ---
-a = np.asarray(pallas_suppress(boxes_d, valid_d, 0.45, chunked=False))
-b = np.asarray(pallas_suppress(boxes_d, valid_d, 0.45, chunked=True))
+a = np.asarray(pallas_suppress(boxes_d, valid_d, 0.45, variant="full"))
+b = np.asarray(pallas_suppress(boxes_d, valid_d, 0.45, variant="batched"))
 print("keeps", a.sum(), b.sum(), "identical:", bool((a == b).all()))
-assert (a == b).all(), "chunked kernel diverged from the full-tile kernel"
+assert (a == b).all(), "batched kernel diverged from the full-tile kernel"
 
 
-def timed(chunked: bool, n: int) -> float:
+def timed(variant: str, n: int) -> float:
     @jax.jit
     def run(bx, va):
         def step(c, _):
-            keep = pallas_suppress(bx + c * 1e-30, va, 0.45, chunked=chunked)
+            keep = pallas_suppress(bx + c * 1e-30, va, 0.45, variant=variant)
             return c + keep.sum().astype(jnp.float32), 0.0
 
         out, _ = jax.lax.scan(step, jnp.float32(0.0), None, length=n)
@@ -51,7 +51,7 @@ def timed(chunked: bool, n: int) -> float:
     return float(np.min(ts))
 
 
-for name, chunked in [("full-tile", False), ("chunked", True)]:
-    t_short, t_long = timed(chunked, 4), timed(chunked, 20)
+for name in ["chunked", "batched"]:
+    t_short, t_long = timed(name, 4), timed(name, 20)
     per = (t_long - t_short) / 16 * 1e3
     print(f"{name}: {per:.3f} ms per batched suppress (B={B}, K={K})")

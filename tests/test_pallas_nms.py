@@ -15,8 +15,8 @@ def _rand_sorted(rng, b, k):
     return boxes
 
 
-@pytest.mark.parametrize("chunked", [False, True])
-def test_pallas_matches_scan(rng, chunked):
+@pytest.mark.parametrize("variant", ["full", "chunked", "batched"])
+def test_pallas_matches_scan(rng, variant):
     b, k = 2, 256
     boxes = _rand_sorted(rng, b, k)
     valid = np.ones((b, k), bool)
@@ -27,7 +27,7 @@ def test_pallas_matches_scan(rng, chunked):
             jnp.asarray(valid),
             iou_threshold=0.5,
             interpret=True,
-            chunked=chunked,
+            variant=variant,
         )
     )
     for i in range(b):
