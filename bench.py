@@ -9,8 +9,12 @@ Timing methodology (the axon tunnel does NOT block on
 ``block_until_ready``; see .claude/skills/verify/SKILL.md): the iteration
 loop runs *inside* one jit as a `lax.scan` whose carry perturbs the input
 (prevents loop-invariant hoisting) and reduces to a scalar checksum; the
-scalar fetch forces execution. Two different scan lengths cancel the fixed
-~25 ms tunnel round-trip.
+scalar fetch forces execution. The scan is compiled at TWO lengths and the
+per-iteration time is the slope ``(t(n2) - t(n1)) / (n2 - n1)`` — the fixed
+tunnel round-trip appears in both totals and cancels exactly, with no
+separately-probed RT that could drift between probe and loop (the round-4
+estimator's bias, VERDICT r4 weak #2). Reps of the two lengths interleave
+so slow drift hits both mins equally.
 """
 
 from __future__ import annotations
@@ -23,27 +27,19 @@ import numpy as np
 T4_TENSORRT_MS_PER_IMG = 10.38  # yolov12x, BASELINE.md / yolov12 README:65
 
 
-def measure_roundtrip_ms(reps: int = 15) -> float:
-    """Fixed cost of one dispatch+scalar-fetch through the device tunnel."""
-    import jax
-    import jax.numpy as jnp
-
-    x = jnp.ones((128, 128), jnp.bfloat16)
-    g = jax.jit(lambda x: x.sum())
-    float(g(x))
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(g(x))
-        ts.append(time.perf_counter() - t0)
-    return float(np.min(ts)) * 1e3
-
-
-def bench_detector(model: str = "yolov12x", batch: int = 8, imgsz: int = 640, reps: int = 15):
+def bench_detector(
+    model: str = "yolov12x",
+    batch: int = 8,
+    imgsz: int = 640,
+    reps: int = 12,
+    n1: int = 4,
+    n2: int = 12,
+):
     import jax
     import jax.numpy as jnp
 
     from kuzu.models.yolo.detector import YoloDetector
+    from kuzu.models.yolo.infer import run_graph
     from kuzu.ops.nms import non_max_suppression
 
     det = YoloDetector(model, nc=80, dtype=jnp.bfloat16, imgsz=imgsz)
@@ -54,29 +50,42 @@ def bench_detector(model: str = "yolov12x", batch: int = 8, imgsz: int = 640, re
         .astype(np.float32)
     )
 
-    from kuzu.models.yolo.infer import run_graph
-
     # NOTE: variables/imgs must be jit *arguments* — closed-over arrays are
     # baked into the HLO as constants and can exceed compile-request limits
-    @jax.jit
-    def run(variables, imgs, c):
-        # stem_s2d: space-to-depth stem rewrite — same NMS keep set, measured
-        # 3.278 -> 3.213 ms/img on chip (r4 A/B); the production cascade path
-        # (detector.forward_fused) defaults to it too.
-        feats = run_graph(det.spec, variables, imgs + c * 1e-30, stem_s2d=True)
-        pred = det.decode(feats, imgsz=imgsz)
-        out = non_max_suppression(pred, conf_thres=0.25, max_det=300)
-        return out["scores"].sum() + c
+    def make_run(n: int):
+        @jax.jit
+        def run(variables, imgs, c0):
+            def body(c, _):
+                # stem_s2d: space-to-depth stem rewrite — same NMS keep set,
+                # 3.278 -> 3.213 ms/img on chip (r4 A/B); the production
+                # cascade path (detector.forward_fused) defaults to it too.
+                feats = run_graph(det.spec, variables, imgs + c * 1e-30, stem_s2d=True)
+                pred = det.decode(feats, imgsz=imgsz)
+                out = non_max_suppression(pred, conf_thres=0.25, max_det=300)
+                # checksum feeds the next iteration's input perturbation so
+                # XLA cannot hoist the body out of the scan
+                return c + out["scores"].sum() * 1e-20 + 1.0, None
 
-    rt_ms = measure_roundtrip_ms()
-    float(run(variables, imgs, jnp.float32(0.0)))  # compile + warm
-    ts = []
+            c, _ = jax.lax.scan(body, c0, None, length=n)
+            return c
+
+        return run
+
+    run1, run2 = make_run(n1), make_run(n2)
+    float(run1(variables, imgs, jnp.float32(0.0)))  # compile + warm
+    float(run2(variables, imgs, jnp.float32(0.0)))
+    t1s, t2s = [], []
     for i in range(reps):
         t0 = time.perf_counter()
-        float(run(variables, imgs, jnp.float32(i)))
-        ts.append(time.perf_counter() - t0)
-    # min over reps: least-noise latency estimator (tunnel RT jitters)
-    ms_per_batch = max(float(np.min(ts)) * 1e3 - rt_ms, 1e-3)
+        float(run1(variables, imgs, jnp.float32(i)))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(run2(variables, imgs, jnp.float32(i)))
+        t2s.append(time.perf_counter() - t0)
+    # min over reps at each length (least-noise), slope cancels the RT
+    ms_per_batch = max(
+        (float(np.min(t2s)) - float(np.min(t1s))) * 1e3 / (n2 - n1), 1e-3
+    )
     return ms_per_batch / batch
 
 

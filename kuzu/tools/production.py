@@ -503,7 +503,7 @@ def train_stage(root: Path, stage: str, **overrides) -> dict:
                 data=str(root / "col" / "dataset.yaml"),
                 imgsz=1280, epochs=int(overrides.get("col_epochs", 40)),
                 batch=4, dtype="bfloat16", max_boxes=64, max_det=96,
-                reg_max=32,
+                reg_max=32, resume=bool(overrides.get("col_resume", 0)),
                 project=str(root / "runs"), name="col", exist_ok=True,
                 workers=2, cache_images="ram",
             )
@@ -518,6 +518,7 @@ def train_stage(root: Path, stage: str, **overrides) -> dict:
                 # 11.4 GB and runs 178 vs 231-310 ms/step (r4_step2.py A/B).
                 batch=8, dtype="bfloat16", remat=False,
                 max_boxes=400, max_det=2000, conf=0.25,
+                resume=bool(overrides.get("char_resume", 0)),
                 project=str(root / "runs"), name="char", exist_ok=True,
                 workers=2, cache_images="ram",
             )
