@@ -1,11 +1,17 @@
-"""Per-node forward profiler for the YOLO graph on the real device.
+"""Per-node forward (and backward) profiler for the YOLO graph on device.
 
 Times cumulative graph prefixes (node 0..k) with the tunnel-safe scalar-fetch
 method and reports per-node deltas — a finer-grained version of the round-1
 stem ablation (PERFORMANCE.md "Forward-time decomposition"). Drives the
-kernel-engineering targeting for VERDICT round-2 item 2 (stem MFU).
+kernel-engineering targeting for VERDICT round-2 item 2 (stem MFU) and the
+round-5 conv-backward attack (VERDICT r4 item 4): ``grad=1`` times
+``jax.grad`` of each prefix w.r.t. the params, so a prefix delta is that
+node's fwd + bwd cost (grad-input + grad-filter convs included).
 
-Usage: python -m kuzu.tools.stem_profile [model=yolov12x] [imgsz=640] [batch=8]
+Usage: python -m kuzu.tools.stem_profile [model=yolov12x] [imgsz=640]
+       [batch=8] [grad=1] [nodes=0,2,4,8]   # nodes= samples prefixes
+       (coarser deltas, far fewer tunnel compiles — grad prefixes compile
+       slowly through the remote toolchain)
 """
 
 from __future__ import annotations
@@ -23,6 +29,8 @@ def profile_nodes(
     batch: int = 8,
     reps: int = 7,
     upto: int | None = None,
+    grad: int = 0,
+    nodes: str | None = None,
 ) -> list[dict]:
     import jax
     import jax.numpy as jnp
@@ -109,13 +117,33 @@ def profile_nodes(
     rt = float(np.min(rts))
 
     n_nodes = len(spec.nodes) if upto is None else min(upto + 1, len(spec.nodes))
+    ks = (
+        [int(s) for s in str(nodes).split(",")]
+        if nodes
+        else list(range(n_nodes))
+    )
     rows = []
     prev = 0.0
-    for k in range(n_nodes):
+    for k in ks:
         mod = Prefix(k)
 
-        def run(v, x, c):
-            return mod.apply(v, x + c * 1e-30)
+        if grad:
+            # fwd+bwd of the prefix w.r.t. params: the delta between two
+            # sampled prefixes is the enclosed nodes' fwd + grad-input +
+            # grad-filter cost (conv backward = two more convs)
+            def run(v, x, c, _mod=mod):
+                def scalar(p):
+                    return _mod.apply({**v, "params": p}, x + c * 1e-30)
+
+                g = jax.grad(scalar)(v["params"])
+                return sum(
+                    jnp.sum(leaf.astype(jnp.float32))
+                    for leaf in jax.tree.leaves(g)
+                )
+        else:
+
+            def run(v, x, c, _mod=mod):
+                return _mod.apply(v, x + c * 1e-30)
 
         fn = jax.jit(run)
         float(fn(variables, imgs, jnp.float32(0)))
