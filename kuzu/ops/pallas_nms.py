@@ -287,6 +287,27 @@ _KERNELS = {
 }
 
 
+def _select_variant(b: int, s: int) -> str:
+    """Shape-gate the kernel choice (validated bounds, not preferences).
+
+    The chunked/batched cross pass builds (L, S-c-1, L) f32 temps — 8.3 MB
+    each at S=128 with several live, over the 16 MB scoped-VMEM budget —
+    and unrolls S (x B for batched) static program blocks, so large S
+    blows compile time/program size. Gates:
+
+    - batched: s <= 32 and b*s <= 256 (validated B=8/S=16 on chip; at
+      s=32 the largest temp is 2.0 MB)
+    - chunked: s <= 64 (largest temp 4.1 MB, per-image grid)
+    - full:    everything else — fori_loop over K rows, (S, L) working
+      set, scales to any K (the pre-r4 production kernel)
+    """
+    if s <= 32 and b * s <= 256:
+        return "batched"
+    if s <= 64:
+        return "chunked"
+    return "full"
+
+
 @functools.partial(
     jax.jit, static_argnames=("iou_threshold", "interpret", "variant")
 )
@@ -295,19 +316,23 @@ def pallas_suppress(
     valid: jnp.ndarray,  # (B, K) bool
     iou_threshold: float = 0.45,
     interpret: bool = False,
-    variant: str = "batched",
+    variant: str = "auto",
 ) -> jnp.ndarray:
     """Batched keep-mask via the Pallas kernel. K must be 128-aligned.
 
-    variant: "batched" (default — image-batched chunked greedy, 0.65 ms
-    vs 2.91 full / 2.74 chunked at B=8 K=2048 on chip), "chunked"
-    (grid-over-images row chunking), or "full" (the original full-tile
-    serial kernel). All three produce bit-identical keeps; chip timings
-    in PERFORMANCE.md "Round-4 kernel work: chunked NMS".
+    variant: "auto" (default) picks by shape via ``_select_variant`` —
+    "batched" (image-batched chunked greedy, 0.65 ms vs 2.91 full / 2.74
+    chunked at B=8 K=2048 on chip) when its VMEM/program-size bounds hold,
+    "chunked" (grid-over-images row chunking) at mid S, else "full" (the
+    original full-tile serial kernel, unbounded shapes). All three produce
+    bit-identical keeps; chip timings in PERFORMANCE.md "Round-4 kernel
+    work: chunked NMS". Explicit variant strings are honored unchecked.
     """
     b, k, _ = boxes.shape
     assert k % LANES == 0, f"K={k} must be a multiple of {LANES}"
     s = k // LANES
+    if variant == "auto":
+        variant = _select_variant(b, s)
     planes = [
         boxes[..., i].astype(jnp.float32).reshape(b, s, LANES) for i in range(4)
     ]

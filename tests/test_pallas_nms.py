@@ -41,6 +41,61 @@ def test_pallas_matches_scan(rng, variant):
         np.testing.assert_array_equal(keep_pl[i], keep_ref)
 
 
+def test_variant_auto_gates_on_shape():
+    """ADVICE r4: 'batched'/'chunked' have validated VMEM/program bounds;
+    shapes past them must route to a kernel that scales ('full')."""
+    from kuzu.ops.pallas_nms import _select_variant
+
+    assert _select_variant(8, 16) == "batched"  # validated chip config
+    assert _select_variant(1, 32) == "batched"
+    assert _select_variant(16, 32) == "chunked"  # b*s over the unroll bound
+    assert _select_variant(1, 64) == "chunked"  # tiling merge 8192-bucket
+    assert _select_variant(8, 128) == "full"  # 16384-bucket: 8.3 MB temps
+    assert _select_variant(1, 999) == "full"
+
+
+def test_auto_variant_midsize_matches_scan(rng):
+    """Interpret-mode parity at a tiling-merge bucket shape the ADVICE
+    flagged: b*s = 512 is past the batched unroll bound -> auto = chunked."""
+    b, k = 16, 4096
+    boxes = _rand_sorted(rng, b, k)
+    valid = np.ones((b, k), bool)
+    valid[:, k // 2 :] = False  # realistic: most candidates below conf
+    keep_pl = np.asarray(
+        pallas_suppress(
+            jnp.asarray(boxes), jnp.asarray(valid), 0.5, interpret=True
+        )
+    )
+    from kuzu.ops.boxes import box_iou_matrix
+
+    for i in range(2):  # parity spot-check (full-B is O(B*K^2) here)
+        iou = box_iou_matrix(jnp.asarray(boxes[i]), jnp.asarray(boxes[i]))
+        iou = jnp.where(
+            jnp.asarray(valid[i])[None, :] & jnp.asarray(valid[i])[:, None],
+            iou,
+            0.0,
+        )
+        keep_ref = np.asarray(_suppress(iou, 0.5)) & valid[i]
+        np.testing.assert_array_equal(keep_pl[i], keep_ref)
+
+
+def test_auto_variant_largest_bucket_matches_chunked(rng):
+    """S = 128 (the 16384 tiling bucket): auto must route to 'full'; pin
+    its keeps against the explicit chunked kernel (a scan reference at
+    K=16384 is O(K^2) on the host — the kernels cross-check instead)."""
+    b, k = 1, 16384
+    boxes = _rand_sorted(rng, b, k)
+    valid = np.ones((b, k), bool)
+    valid[:, 600:] = False  # post-conf realism: few thousand live boxes
+    args = (jnp.asarray(boxes), jnp.asarray(valid), 0.5)
+    keep_auto = np.asarray(pallas_suppress(*args, interpret=True))
+    keep_chunked = np.asarray(
+        pallas_suppress(*args, interpret=True, variant="chunked")
+    )
+    np.testing.assert_array_equal(keep_auto, keep_chunked)
+    assert keep_auto[0, 0]
+
+
 def test_pallas_dense_cluster(rng):
     """Heavy-overlap stress: many near-duplicates around few centers."""
     k = 128
