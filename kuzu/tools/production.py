@@ -920,6 +920,41 @@ def sample(root: Path, out_dir: Path | None = None, rec: str = "rec") -> dict:
 REAL_GT = Path(__file__).resolve().parents[2] / "data/real_page/sample_gt.json"
 
 
+def greedy_iou_match(
+    gt_boxes: np.ndarray,  # (G, 4) xyxy
+    pred_boxes: np.ndarray,  # (P, 4) xyxy
+    thresholds: tuple[float, ...] = (0.5, 0.25),
+) -> tuple[dict, np.ndarray, np.ndarray]:
+    """Greedy one-to-one IoU matching (reference semantics:
+    ``engine/validator.py:222`` — globally-best pair first, each GT and
+    each prediction consumed at most once per threshold).
+
+    Returns (matched counts per threshold, used mask for predictions at
+    thresholds[0], best-IoU per GT)."""
+    from kuzu.core.metrics import box_iou_np
+
+    matched = {float(t): 0 for t in thresholds}
+    used = np.zeros(len(pred_boxes), bool)
+    per_gt = np.zeros(len(gt_boxes), np.float32)
+    if len(pred_boxes) and len(gt_boxes):
+        iou = box_iou_np(
+            np.asarray(gt_boxes, np.float32), np.asarray(pred_boxes, np.float32)
+        )  # (G, P)
+        per_gt = iou.max(axis=1)
+        for thr in thresholds:
+            m = iou.copy()
+            for _ in range(min(len(gt_boxes), len(pred_boxes))):
+                g, p = np.unravel_index(np.argmax(m), m.shape)
+                if m[g, p] < thr:
+                    break
+                m[g, :] = -1
+                m[:, p] = -1
+                matched[float(thr)] += 1
+                if thr == thresholds[0]:
+                    used[p] = True
+    return matched, used, per_gt
+
+
 def real(root: Path, rec: str = "rec", out_dir: Path | None = None) -> dict:
     """First REAL-kuzushiji quality numbers (round-4 VERDICT item 4): run
     the cascade's column stage on the hand-labeled sample page
@@ -928,8 +963,6 @@ def real(root: Path, rec: str = "rec", out_dir: Path | None = None) -> dict:
     The reference's entire purpose is real kuzushiji
     (``scripts/data_loader.py:16``); this is the one labeled real page in
     the environment."""
-    from kuzu.core.metrics import box_iou_np
-
     root = Path(root)
     gt_spec = json.loads(REAL_GT.read_text())
     gt_boxes = np.array(list(gt_spec["columns"].values()), np.float32)
@@ -938,24 +971,9 @@ def real(root: Path, rec: str = "rec", out_dir: Path | None = None) -> dict:
     res = pipe.process_pages([SAMPLE_PAGE])[0]
     pred = res["columns"]
     out = {"gt_columns": len(gt_boxes), "pred_columns": len(pred)}
-    per_gt = {}
-    matched = {0.5: 0, 0.25: 0}
-    used = np.zeros(len(pred), bool)
-    if pred:
-        pb = np.array([c["box"] for c in pred], np.float32)
-        iou = box_iou_np(gt_boxes, pb)  # (G, P)
-        per_gt = {n: float(iou[i].max()) for i, n in enumerate(gt_names)}
-        for thr in (0.5, 0.25):
-            m = iou.copy()
-            for _ in range(min(len(gt_boxes), len(pred))):
-                g, p = np.unravel_index(np.argmax(m), m.shape)
-                if m[g, p] < thr:
-                    break
-                m[g, :] = -1
-                m[:, p] = -1
-                matched[thr] += 1
-                if thr == 0.5:
-                    used[p] = True
+    pb = np.array([c["box"] for c in pred], np.float32).reshape(-1, 4)
+    matched, used, best = greedy_iou_match(gt_boxes, pb, (0.5, 0.25))
+    per_gt = {n: float(best[i]) for i, n in enumerate(gt_names)} if pred else {}
     out.update(
         {
             "col_recall@0.5": matched[0.5] / len(gt_boxes),

@@ -49,3 +49,54 @@ def test_jsonable_handles_nested_and_numpy():
     )
     assert out == {"a": 1.5, "b": [2.0, "x"], "c": {"d": True, "e": None}}
     json.dumps(out)
+
+
+def test_greedy_iou_match_known_boxes():
+    """VERDICT r4 item 8: pin the real-page matcher on a hand-checked
+    fixture (reference matching semantics: engine/validator.py:222)."""
+    import numpy as np
+
+    gt = np.array(
+        [
+            [0, 0, 10, 10],  # matched exactly by pred 0
+            [20, 0, 30, 10],  # matched at IoU ~0.68 by pred 1
+            [40, 0, 50, 10],  # best IoU ~0.33: counts only at the 0.25 bar
+            [60, 0, 70, 10],  # completely missed
+        ],
+        np.float32,
+    )
+    pred = np.array(
+        [
+            [0, 0, 10, 10],
+            [22, 0, 30, 10],
+            [45, 0, 55, 10],
+            [90, 0, 99, 10],  # spurious
+        ],
+        np.float32,
+    )
+    matched, used, per_gt = P.greedy_iou_match(gt, pred, (0.5, 0.25))
+    assert matched[0.5] == 2 and matched[0.25] == 3
+    assert used.tolist() == [True, True, False, False]
+    assert per_gt[0] == 1.0 and per_gt[3] == 0.0
+    assert 0.6 < per_gt[1] < 0.9 and 0.25 < per_gt[2] < 0.5
+
+
+def test_greedy_iou_match_one_to_one():
+    """Two predictions over one GT: only one may consume it (the greedy
+    global-argmax order), the other stays unmatched even above threshold."""
+    import numpy as np
+
+    gt = np.array([[0, 0, 10, 10]], np.float32)
+    pred = np.array([[0, 0, 10, 10], [1, 0, 11, 10]], np.float32)
+    matched, used, per_gt = P.greedy_iou_match(gt, pred, (0.5, 0.25))
+    assert matched[0.5] == 1 and matched[0.25] == 1
+    assert used.tolist() == [True, False]
+
+
+def test_greedy_iou_match_empty():
+    import numpy as np
+
+    m, used, per_gt = P.greedy_iou_match(
+        np.zeros((2, 4), np.float32), np.zeros((0, 4), np.float32)
+    )
+    assert m[0.5] == 0 and used.size == 0 and per_gt.tolist() == [0.0, 0.0]
