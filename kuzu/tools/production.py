@@ -918,6 +918,95 @@ def sample(root: Path, out_dir: Path | None = None, rec: str = "rec") -> dict:
 
 
 REAL_GT = Path(__file__).resolve().parents[2] / "data/real_page/sample_gt.json"
+CHAR_GT = Path(__file__).resolve().parents[2] / "data/real_page/char_gt.json"
+
+
+def wildcard_cer(ref: str, hyp: str, wildcard: str = "〓") -> float:
+    """Levenshtein CER where a wildcard ref char matches ANY one hyp char.
+
+    The round-5 real-page char GT (data/real_page/char_gt.json) marks
+    low-confidence hand readings as wildcards; this keeps them in the
+    alignment (they still consume a hypothesis char) without charging the
+    recognizer for the annotator's uncertainty — a lower-bound CER, with
+    the trusted-glyph count reported alongside."""
+    g, h = len(ref), len(hyp)
+    d = np.zeros((g + 1, h + 1), np.int32)
+    d[:, 0] = np.arange(g + 1)
+    d[0, :] = np.arange(h + 1)
+    for i in range(1, g + 1):
+        for j in range(1, h + 1):
+            sub = 0 if (ref[i - 1] == wildcard or ref[i - 1] == hyp[j - 1]) else 1
+            d[i, j] = min(d[i - 1, j] + 1, d[i, j - 1] + 1, d[i - 1, j - 1] + sub)
+    return float(d[g, h]) / max(g, 1)
+
+
+def _char_level_eval(res: dict, pred: list, pb: np.ndarray) -> dict:
+    """Score the cascade's char boxes + read text against the hand-labeled
+    char GT columns (reference char-GT semantics:
+    ``scripts/data_preprocessing.py:26-330`` — per-column char boxes +
+    unicode transcription)."""
+    from kuzu.core.metrics import box_iou_np
+
+    cg = json.loads(CHAR_GT.read_text())
+    cb = np.asarray(
+        res.get("characters", {}).get("boxes", []), np.float32
+    ).reshape(-1, 4)
+    per_col = {}
+    tot = {"gt": 0, "m50": 0, "m25": 0, "pred": 0, "cer_num": 0.0, "ref_len": 0}
+    for name, spec in cg["columns"].items():
+        col_box = np.array(spec["box"], np.float32)
+        gt_glyphs = np.array([gl["box"] for gl in spec["glyphs"]], np.float32)
+        pad = 15.0
+        if len(cb):
+            cx = (cb[:, 0] + cb[:, 2]) / 2
+            cy = (cb[:, 1] + cb[:, 3]) / 2
+            inside = (
+                (cx >= col_box[0] - pad)
+                & (cx <= col_box[2] + pad)
+                & (cy >= col_box[1] - pad)
+                & (cy <= col_box[3] + pad)
+            )
+            pin = cb[inside]
+        else:
+            pin = np.zeros((0, 4), np.float32)
+        matched, _, _ = greedy_iou_match(gt_glyphs, pin, (0.5, 0.25))
+        ref_text = "".join(
+            gl["text"] if gl["conf"] != "low" else "〓"
+            for gl in spec["glyphs"]
+        )
+        hyp_text = ""
+        if len(pb):
+            ious = box_iou_np(col_box[None], pb)[0]
+            j = int(np.argmax(ious))
+            if ious[j] >= 0.25:
+                hyp_text = pred[j].get("text", "")
+        cer = wildcard_cer(ref_text, hyp_text)
+        per_col[name] = {
+            "gt_glyphs": int(len(gt_glyphs)),
+            "pred_in_col": int(len(pin)),
+            "char_recall@0.5": matched[0.5] / max(len(gt_glyphs), 1),
+            "char_recall@0.25": matched[0.25] / max(len(gt_glyphs), 1),
+            "char_precision@0.5": matched[0.5] / max(len(pin), 1),
+            "trusted_glyphs": sum(
+                1 for gl in spec["glyphs"] if gl["conf"] != "low"
+            ),
+            "cer_wildcard": round(cer, 4),
+            "hyp_len": len(hyp_text),
+        }
+        tot["gt"] += len(gt_glyphs)
+        tot["m50"] += matched[0.5]
+        tot["m25"] += matched[0.25]
+        tot["pred"] += len(pin)
+        tot["cer_num"] += cer * len(ref_text)
+        tot["ref_len"] += len(ref_text)
+    per_col["overall"] = {
+        "char_recall@0.5": tot["m50"] / max(tot["gt"], 1),
+        "char_recall@0.25": tot["m25"] / max(tot["gt"], 1),
+        "char_precision@0.5": tot["m50"] / max(tot["pred"], 1),
+        "cer_wildcard": round(tot["cer_num"] / max(tot["ref_len"], 1), 4),
+        "gt_glyphs": tot["gt"],
+    }
+    return per_col
 
 
 def greedy_iou_match(
@@ -987,6 +1076,8 @@ def real(root: Path, rec: str = "rec", out_dir: Path | None = None) -> dict:
             "chars_read": sum(len(c.get("text", "")) for c in pred),
         }
     )
+    if CHAR_GT.exists():
+        out["char_level"] = _char_level_eval(res, pred, pb)
     out_dir = Path(out_dir or root / "real_out")
     out_dir.mkdir(parents=True, exist_ok=True)
     import cv2
@@ -997,6 +1088,16 @@ def real(root: Path, rec: str = "rec", out_dir: Path | None = None) -> dict:
     for c, u in zip(pred, used):
         x1, y1, x2, y2 = (int(v) for v in c["box"])
         cv2.rectangle(img, (x1, y1), (x2, y2), (0, 160, 0) if u else (0, 0, 220), 4)
+    if CHAR_GT.exists():
+        cg = json.loads(CHAR_GT.read_text())
+        for spec in cg["columns"].values():
+            for gl in spec["glyphs"]:
+                b = [int(v) for v in gl["box"]]
+                cv2.rectangle(img, (b[0], b[1]), (b[2], b[3]), (255, 160, 0), 2)
+        for b in np.asarray(
+            res.get("characters", {}).get("boxes", []), np.float32
+        ).reshape(-1, 4).astype(int):
+            cv2.rectangle(img, (b[0], b[1]), (b[2], b[3]), (0, 0, 220), 1)
     cv2.imwrite(str(out_dir / "real_eval.jpg"), img)
     (out_dir / "real_eval.json").write_text(json.dumps(out, indent=2))
     print(json.dumps(out))

@@ -8,6 +8,8 @@ must also land in the git-tracked ``results/production.jsonl`` ledger
 
 import json
 
+import pytest
+
 from kuzu.tools import production as P
 
 
@@ -100,3 +102,47 @@ def test_greedy_iou_match_empty():
         np.zeros((2, 4), np.float32), np.zeros((0, 4), np.float32)
     )
     assert m[0.5] == 0 and used.size == 0 and per_gt.tolist() == [0.0, 0.0]
+
+
+def test_wildcard_cer():
+    assert P.wildcard_cer("abc", "abc") == 0.0
+    assert P.wildcard_cer("a〓c", "axc") == 0.0  # wildcard matches any char
+    assert P.wildcard_cer("a〓c", "ac") == pytest.approx(1 / 3)  # still consumes
+    assert P.wildcard_cer("abc", "") == 1.0
+    assert P.wildcard_cer("", "xy") == 2.0  # empty ref: insertions / max(g,1)
+    assert P.wildcard_cer("ab", "cb") == 0.5
+
+
+def test_char_level_eval_mocked_pipeline():
+    """VERDICT r4 item 3 plumbing: char GT scoring against a fake cascade
+    result built FROM the GT (perfect boxes + text => recall 1, CER 0)."""
+    import numpy as np
+
+    cg = json.loads(P.CHAR_GT.read_text())
+    boxes, pred, pb = [], [], []
+    for spec in cg["columns"].values():
+        boxes += [g["box"] for g in spec["glyphs"]]
+        text = "".join(
+            g["text"] if g["conf"] != "low" else "x" for g in spec["glyphs"]
+        )
+        pred.append({"box": spec["box"], "text": text})
+        pb.append(spec["box"])
+    res = {"characters": {"boxes": np.asarray(boxes, np.float32)}}
+    out = P._char_level_eval(res, pred, np.asarray(pb, np.float32))
+    assert out["overall"]["char_recall@0.5"] == 1.0
+    assert out["overall"]["char_precision@0.5"] == 1.0
+    assert out["overall"]["cer_wildcard"] == 0.0  # low-conf = wildcard
+    assert out["c2"]["gt_glyphs"] == 14 and out["c3"]["gt_glyphs"] == 12
+
+    # jittered boxes (+30 px shrink) drop IoU below 0.5 but stay over 0.25
+    jit = np.asarray(boxes, np.float32)
+    jit[:, 0] += 30
+    res2 = {"characters": {"boxes": jit}}
+    out2 = P._char_level_eval(res2, pred, np.asarray(pb, np.float32))
+    assert out2["overall"]["char_recall@0.25"] >= out2["overall"]["char_recall@0.5"]
+
+    # empty prediction: recall 0, CER 1
+    res3 = {"characters": {"boxes": np.zeros((0, 4), np.float32)}}
+    out3 = P._char_level_eval(res3, [], np.zeros((0, 4), np.float32))
+    assert out3["overall"]["char_recall@0.5"] == 0.0
+    assert out3["overall"]["cer_wildcard"] == 1.0
