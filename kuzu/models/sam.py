@@ -124,6 +124,9 @@ class MaskDecoder(nn.Module):
     depth: int = 2
     num_masks: int = 3
     dtype: Any = jnp.float32
+    # SAM2 needs the raw mask-token outputs to derive object pointers
+    # (reference sam.py:887 _encode_memory_in_output / obj_ptr_proj)
+    return_tokens: bool = False
 
     @nn.compact
     def __call__(
@@ -188,6 +191,8 @@ class MaskDecoder(nn.Module):
         for j in range(2):
             iou = nn.relu(nn.Dense(d, dtype=self.dtype, name=f"iou{j}")(iou))
         iou = nn.Dense(self.num_masks, dtype=jnp.float32, name="iou_out")(iou)
+        if self.return_tokens:
+            return masks.astype(jnp.float32), iou, mask_toks
         return masks.astype(jnp.float32), iou
 
 
