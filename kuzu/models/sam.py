@@ -240,12 +240,21 @@ class SAM(nn.Module):
     num_masks: int = 3
     dtype: Any = jnp.float32
     attn_impl: str = "einsum"
+    encoder_kind: str = "vit"  # 'vit' | 'tiny' (MobileSAM, tiny_encoder.py)
 
     def setup(self):
-        self.encoder = SAMImageEncoder(
-            self.img_size, 16, self.dim, self.enc_depth, self.enc_heads,
-            dtype=self.dtype, attn_impl=self.attn_impl,
-        )
+        if self.encoder_kind == "tiny":
+            from kuzu.models.tiny_encoder import TinyViTEncoder
+
+            self.encoder = TinyViTEncoder(
+                self.img_size, self.dim, dtype=self.dtype,
+                attn_impl=self.attn_impl,
+            )
+        else:
+            self.encoder = SAMImageEncoder(
+                self.img_size, 16, self.dim, self.enc_depth, self.enc_heads,
+                dtype=self.dtype, attn_impl=self.attn_impl,
+            )
         self.prompt_encoder = PromptEncoder(self.dim)
         self.decoder = MaskDecoder(
             self.dim, self.dec_heads, num_masks=self.num_masks,

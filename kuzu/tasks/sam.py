@@ -127,6 +127,7 @@ class SAMTrainer(BaseTrainer):
             enc_heads=int(cfg.get("enc_heads", 8)),
             num_masks=int(cfg.get("num_masks", 3)),
             dtype=dtype,
+            encoder_kind=str(cfg.get("encoder", "vit")),
         )
         s = self.model.img_size
         variables = jax.jit(
@@ -253,6 +254,7 @@ class SAMPredictor:
             enc_depth=int(tc.get("enc_depth", 6)),
             enc_heads=int(tc.get("enc_heads", 8)),
             num_masks=int(tc.get("num_masks", 3)),
+            encoder_kind=str(tc.get("encoder", "vit")),
         )
         s = self.imgsz
         params = jax.jit(
