@@ -24,6 +24,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 DN = ("NHWC", "HWIO", "NHWC")
@@ -126,6 +127,99 @@ def stem_conv_s2d(p: _P, x):
     )
     y = y + bias.astype(y.dtype)
     return jax.nn.silu(y)
+
+
+def stem_pair_packed(p0: _P, p1: _P, x, g1: int = 1):
+    """Nodes 0+1 (both k3 s2 convs) as two k2 convs on a 4x4
+    space-to-depth packing (round-5 VERDICT item 6: fold P1 into the s2d
+    transform so channels start >=128).
+
+    The P1 activation is the stem's HBM problem: (B, H/2, W/2, C0) with
+    C0 = 96 pads to 128 lanes and round-trips at full half-resolution.
+    Packing 2x2 output pixels into channels keeps it at quarter grid with
+    4*C0 = 384 lanes (no padding, 4x less padded volume), and node 1 then
+    consumes the packed tensor directly:
+
+    - stage A: X4 = s2d(x, 4) (B, H/4, W/4, 16*cin); node0's k3 s2 conv
+      over x becomes a k2 s1 conv over X4 producing Y packed (o-major
+      channel order o*4 + a*2 + b so groups stay contiguous): output
+      pixel y[2p+a, 2q+b] reads x[4p + (2a+di), ...], and 2a+di spans
+      {-1..3} = packed rows {p-1, p} -> kernel taps (k, u) with
+      di = 4k - 4 + u - 2a, zero where |di| > 1.
+    - stage B: node1's k3 s2 conv over y becomes a k2 s1 conv over Y:
+      z[m, n] reads y[2m+di, ...] = Y rows {m-1, m}, taps (k, a) with
+      di = 2(k-1) + a, zero at (k=0, a=0). Grouped node1 (v12 P2 conv is
+      g=2) slices packed channels per group — contiguous by the o-major
+      order.
+
+    Same math as the native pair up to summation order; SiLU is
+    elementwise so it commutes with the packing.
+    """
+    w0, b0 = _fold_bn(p0.params["conv"], p0.params["bn"], p0.stats["bn"])
+    w1, b1 = _fold_bn(p1.params["conv"], p1.params["bn"], p1.stats["bn"])
+    cin, c0 = w0.shape[2], w0.shape[3]
+    c1 = w1.shape[3]
+    b_, h, wd, _ = x.shape
+    X = (
+        x.reshape(b_, h // 4, 4, wd // 4, 4, cin)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b_, h // 4, wd // 4, 16 * cin)
+    )
+
+    # ---- stage A kernel: (2, 2, (u,v,c)=16*cin, (o,a,b)=4*c0)
+    k, u, a = np.meshgrid(np.arange(2), np.arange(4), np.arange(2), indexing="ij")
+    di = 4 * k - 4 + u - 2 * a  # (2, 4, 2)
+    ok = (di >= -1) & (di <= 1)
+    idx = np.clip(di + 1, 0, 2)
+    # joint axes (k, u, l, v, a, b): row index depends on (k, u, a),
+    # column index on (l, v, b)
+    wa = (
+        w0[idx[:, :, None, None, :, None], idx[None, None, :, :, None, :]]
+        * (ok[:, :, None, None, :, None] & ok[None, None, :, :, None, :])[
+            ..., None, None
+        ]
+    )  # (k, u, l, v, a, b, cin, c0)
+    wa = jnp.asarray(wa).transpose(0, 2, 1, 3, 6, 7, 4, 5)  # k,l,u,v,c,o,a,b
+    wa = wa.reshape(2, 2, 16 * cin, 4 * c0)
+    y = lax.conv_general_dilated(
+        X, wa.astype(X.dtype), (1, 1), [(1, 0), (1, 0)], dimension_numbers=DN
+    )
+    y = jax.nn.silu(y + jnp.repeat(b0, 4).astype(y.dtype))
+
+    # ---- stage B kernel: (2, 2, (o,a,b)=4*c0g, c1). A grouped flax conv
+    # kernel is already group-local on the input dim (c0g = c0 // g1), so
+    # groups slice only the packed input tensor + the kernel's output dim.
+    c0g = w1.shape[2]
+    k, a = np.meshgrid(np.arange(2), np.arange(2), indexing="ij")
+    di = 2 * (k - 1) + a  # (2, 2) in {-2..1}
+    ok = di >= -1
+    idx = np.clip(di + 1, 0, 2)
+    # wb[k, a, l, b, o, o2]
+    wb = (
+        w1[idx[:, :, None, None], idx[None, None, :, :]]
+        * (ok[:, :, None, None] & ok[None, None])[..., None, None]
+    )
+    wb = jnp.asarray(wb).transpose(0, 2, 4, 1, 3, 5)  # k,l,o,a,b,o2
+    wb = wb.reshape(2, 2, 4 * c0g, c1)
+    if g1 > 1:
+        cgp, og = 4 * c0g, c1 // g1
+        z = jnp.concatenate(
+            [
+                lax.conv_general_dilated(
+                    y[..., gi * cgp : (gi + 1) * cgp],
+                    wb[:, :, :, gi * og : (gi + 1) * og].astype(y.dtype),
+                    (1, 1), [(1, 0), (1, 0)], dimension_numbers=DN,
+                )
+                for gi in range(g1)
+            ],
+            axis=-1,
+        )
+    else:
+        z = lax.conv_general_dilated(
+            y, wb.astype(y.dtype), (1, 1), [(1, 0), (1, 0)],
+            dimension_numbers=DN,
+        )
+    return jax.nn.silu(z + b1.astype(z.dtype))
 
 
 def plain_conv(p: dict, x):
@@ -520,6 +614,7 @@ def run_graph(
     images: jnp.ndarray,
     interpret: bool = False,
     stem_s2d: bool = False,
+    stem_packed: bool = False,
 ) -> list:
     """Execute the parsed GraphSpec functionally (inference only).
 
@@ -537,7 +632,46 @@ def run_graph(
     outputs: dict[int, jnp.ndarray] = {}
     cur = x
     result = None
+
+    def _stem_fusable() -> bool:
+        """stem_packed preconditions: nodes 0+1 are both k3 s2 act Convs
+        (node0 g=1 from RGB), node1 reads only node0, nothing else reads
+        node0, and the image tiles by 4."""
+        if len(spec.nodes) < 2 or x.shape[1] % 4 or x.shape[2] % 4:
+            return False
+        n0, n1 = spec.nodes[0], spec.nodes[1]
+        for nd in spec.nodes[2:]:
+            if 0 in nd.frm:
+                return False
+        for nd, need_g1 in ((n0, True), (n1, False)):
+            if nd.module != "Conv":
+                return False
+            a = nd.args
+            if (a[2] if len(a) > 2 else 1) != 2:
+                return False
+            if need_g1 and (a[4] if len(a) > 4 else 1) != 1:
+                return False
+            if not (a[5] if len(a) > 5 else True):
+                return False
+            k = params[f"n{nd.index}_Conv"]["conv"]["kernel"]
+            if k.shape[:2] != (3, 3):
+                return False
+        return x.shape[-1] == 3 and list(n1.frm) == [0]
+
+    fuse_stem = stem_packed and _stem_fusable()
     for node in spec.nodes:
+        if fuse_stem and node.index == 0:
+            continue  # produced fused with node 1 below
+        if fuse_stem and node.index == 1:
+            g1 = node.args[4] if len(node.args) > 4 else 1
+            cur = stem_pair_packed(
+                _P(params["n0_Conv"], stats.get("n0_Conv", {})),
+                _P(params["n1_Conv"], stats.get("n1_Conv", {})),
+                x, g1=g1,
+            )
+            if node.index in spec.save:
+                outputs[node.index] = cur
+            continue
         ins = [cur if f == node.index - 1 else outputs[f] for f in node.frm]
         m, a = node.module, node.args
         name = f"n{node.index}_{m}"

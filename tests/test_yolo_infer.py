@@ -40,6 +40,25 @@ def test_run_graph_matches_flax(name, rng):
         assert close > 0.999
 
 
+def test_stem_packed_matches_plain(rng):
+    """Round-5 packed stem (VERDICT item 6): nodes 0+1 fused as two k2
+    convs on a 4x4 space-to-depth packing — run_graph(stem_packed=True) ==
+    native, same math up to summation order. yolov12n's node 1 is the
+    grouped (g=2) P2 conv, so this also covers the grouped stage-B path."""
+    from kuzu.models.yolo.detector import YoloDetector
+    from kuzu.models.yolo.infer import run_graph
+
+    det = YoloDetector("yolov12n", nc=3, dtype=jnp.bfloat16, imgsz=64)
+    v = det.init(jax.random.key(0), imgsz=64)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    ref = run_graph(det.spec, v, x, stem_packed=False)
+    out = run_graph(det.spec, v, x, stem_packed=True)
+    for r, o in zip(ref, out):
+        r32, o32 = np.asarray(r, np.float32), np.asarray(o, np.float32)
+        denom = np.maximum(np.abs(r32), 1.0)
+        assert (np.abs(r32 - o32) / denom).max() < 0.02
+
+
 def test_stem_s2d_matches_plain(rng):
     """Space-to-depth stem rewrite (round-4): run_graph(stem_s2d=True) ==
     run_graph(stem_s2d=False) — identical math, MXU-friendlier layout; and
