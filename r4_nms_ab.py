@@ -25,11 +25,13 @@ valid_np = rng.uniform(size=(B, K)) > 0.1
 boxes_d = jnp.asarray(boxes)
 valid_d = jnp.asarray(valid_np)
 
-# --- parity on chip ---
+# --- parity on chip (every variant vs the full-tile kernel — ADVICE r4:
+# 'chunked' was timed but never parity-checked on real hardware)
 a = np.asarray(pallas_suppress(boxes_d, valid_d, 0.45, variant="full"))
-b = np.asarray(pallas_suppress(boxes_d, valid_d, 0.45, variant="batched"))
-print("keeps", a.sum(), b.sum(), "identical:", bool((a == b).all()))
-assert (a == b).all(), "batched kernel diverged from the full-tile kernel"
+for other in ("batched", "chunked"):
+    b = np.asarray(pallas_suppress(boxes_d, valid_d, 0.45, variant=other))
+    print(f"keeps full/{other}:", a.sum(), b.sum(), "identical:", bool((a == b).all()))
+    assert (a == b).all(), f"{other} kernel diverged from the full-tile kernel"
 
 
 def timed(variant: str, n: int) -> float:
