@@ -573,6 +573,9 @@ def train_stage(root: Path, stage: str, **overrides) -> dict:
                 # CTC+attention on the encoder + scheduled sampling
                 ctc_weight=float(overrides.get("ctc_weight", 0.3)),
                 ss_prob=float(overrides.get("ss_prob", 0.25)),
+                # wall-clock budget (hours): BaseTrainer stops after the
+                # first epoch that crosses it, keeping best/last checkpoints
+                time=float(overrides.get("rec_time_h", 0)) or None,
                 resume=bool(overrides.get("rec_resume", 0)),
                 project=str(root / "runs"), name="rec", exist_ok=True,
                 workers=2, cache_images="ram", **kw,

@@ -1,29 +1,30 @@
 #!/bin/bash
 # Round-5 tail: AR recognizer training (VERDICT item 2) driven with an
 # explicit wall-clock budget, then quality(rec). Run after the evidence
-# block; replaces r5_chain.sh's open-ended rec loop so the round ends
-# with a measured quality(rec) no matter how far training got (the
-# trainer checkpoints best/last every epoch).
-# Usage: bash r5_rec_chain.sh <epochs> <deadline_epoch_seconds>
+# block; the trainer's own `time` budget (rec_time_h) bounds the run
+# inside one process (checkpointing best/last every epoch), and the
+# resume loop only exists to survive an RSS-watchdog stop.
+# Usage: bash r5_rec_chain.sh <epochs> <time_budget_hours>
 set -x
 cd /root/repo
 ROOT=runs/production_v5
-EPOCHS=${1:-30}
-DEADLINE=${2:-0}   # unix ts; 0 = no deadline
+EPOCHS=${1:-60}
+BUDGET_H=${2:-1.25}
+T0=$(date +%s)
 
-for i in 1 2 3 4 5 6; do
+for i in 1 2 3; do
   echo "=== STAGE train rec chunk $i ($(date)) ==="
+  LEFT_H=$(python -c "import time;print(max(0.05, $BUDGET_H - (time.time()-$T0)/3600))")
   python -m kuzu.tools.production train root=$ROOT stage=rec \
-    rec_epochs=$EPOCHS rec_resume=$([ $i -gt 1 ] && echo 1 || echo 0) || break
+    rec_epochs=$EPOCHS rec_time_h=$LEFT_H \
+    rec_resume=$([ $i -gt 1 ] && echo 1 || echo 0) || break
   LAST=$(tail -1 $ROOT/runs/recognize/rec/results.csv | cut -d, -f1)
   echo "rec last epoch: $LAST"
   [ "$LAST" -ge $((EPOCHS - 1)) ] && break
-  if [ "$DEADLINE" != "0" ] && [ "$(date +%s)" -ge "$DEADLINE" ]; then
-    echo "=== deadline reached at epoch $LAST ==="
-    break
-  fi
+  ELAPSED_H=$(python -c "import time;print((time.time()-$T0)/3600)")
+  python -c "exit(0 if $ELAPSED_H >= $BUDGET_H else 1)" && break
 done
 
 echo "=== STAGE quality (rec) ($(date)) ==="
-python -m kuzu.tools.production quality root=$ROOT rec=rec
+timeout 2400 python -m kuzu.tools.production quality root=$ROOT rec=rec
 echo "=== REC CHAIN DONE ($(date)) ==="
