@@ -36,9 +36,11 @@ def profile_nodes(
     import jax.numpy as jnp
     from flax import linen as nn
 
+    from kuzu.core.cache import enable_compilation_cache
     from kuzu.models.yolo import modules as M
     from kuzu.models.yolo.detector import YoloDetector
 
+    enable_compilation_cache()
     det = YoloDetector(model, nc=1, dtype=jnp.bfloat16, imgsz=imgsz)
     variables = det.init(jax.random.key(0), imgsz=imgsz)
     spec = det.spec

@@ -5,7 +5,7 @@
 set -x
 cd /root/repo
 echo "=== STEM A/B ($(date)) ==="
-timeout 1800 python r5_stem_ab.py
+timeout 2700 python r5_stem_ab.py
 echo "=== BACKWARD PROFILE ($(date)) ==="
 timeout 2400 python -m kuzu.tools.stem_profile model=yolov12x imgsz=640 \
   batch=8 grad=1 nodes=0,1,2,3,4,5,6,7,8,12,16,21

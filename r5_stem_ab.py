@@ -16,6 +16,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from kuzu.core.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from kuzu.models.yolo.detector import YoloDetector
 from kuzu.models.yolo.infer import run_graph
 from kuzu.ops.nms import non_max_suppression
