@@ -40,6 +40,7 @@ class YoloDetector:
         remat: bool = False,
         attn_impl: str = "auto",
         reg_max: int | None = None,
+        conv_impl: str = "native",
     ):
         if isinstance(model, GraphSpec):
             self.spec = model
@@ -57,7 +58,8 @@ class YoloDetector:
                 "flash_train" if jax.default_backend() == "tpu" else "einsum"
             )
         self.module = YoloGraph(
-            self.spec, dtype=dtype, remat=remat, attn_impl=attn_impl
+            self.spec, dtype=dtype, remat=remat, attn_impl=attn_impl,
+            conv_impl=conv_impl,
         )
         self.imgsz = imgsz
         self.strides = list(self.spec.strides)

@@ -268,6 +268,7 @@ class YoloGraph(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     attn_impl: str = "einsum"  # 'einsum' | 'flash' | 'dpa' (area attention)
+    conv_impl: str = "native"  # 'native' | 's2d' (downsample-conv rewrite)
 
     def _block(self, cls):
         return nn.remat(cls, static_argnums=(2,)) if self.remat else cls
@@ -285,9 +286,10 @@ class YoloGraph(nn.Module):
             m, a = node.module, node.args
             name = f"n{node.index}_{m}"
             if m == "Conv":
-                cur = M.Conv(a[0], *a[1:], dtype=self.dtype, name=name)(
-                    ins[0], train=train
-                )
+                cur = M.Conv(
+                    a[0], *a[1:], dtype=self.dtype, impl=self.conv_impl,
+                    name=name,
+                )(ins[0], train=train)
             elif m == "DWConv":
                 cur = M.DWConv(a[0], *a[1:], dtype=self.dtype, name=name)(
                     ins[0], train=train

@@ -101,26 +101,15 @@ def stem_conv_s2d(p: _P, x):
     {i-1, i} x {j-1, j}, so W2[P,Q,(u,v,c),o] = w[2P+u-2+1, 2Q+v-2+1, c, o]
     where in-range, else zero.
     """
+    from kuzu.ops.s2d import s2d_kernel, space_to_depth
+
     w, bias = _fold_bn(p.params["conv"], p.params["bn"], p.stats["bn"])
     kh, kw, cin, cout = w.shape
     assert (kh, kw) == (3, 3) and cin == 3
-    b_, h, wd, _ = x.shape
-    X = (
-        x.reshape(b_, h // 2, 2, wd // 2, 2, cin)
-        .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(b_, h // 2, wd // 2, 4 * cin)
-    )
+    X = space_to_depth(x)
     # W2 built by gather from the padded original kernel (traced on the
     # weight argument; negligible vs the conv itself)
-    wp = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))  # di index -2 -> 0
-    P, Q, u, v = jnp.meshgrid(
-        jnp.arange(2), jnp.arange(2), jnp.arange(2), jnp.arange(2),
-        indexing="ij",
-    )
-    di = 2 * P + u - 2  # in {-2,-1,0,1}; -2 lands on the zero pad row
-    dj = 2 * Q + v - 2
-    # (P,Q,u,v,cin,cout) -> flatten (u,v,cin) to match X's (u*2+v)*cin + c
-    w2 = wp[di + 2, dj + 2].reshape(2, 2, 4 * cin, cout)
+    w2 = s2d_kernel(w)
     y = lax.conv_general_dilated(
         X, w2.astype(X.dtype), (1, 1), [(1, 0), (1, 0)],
         dimension_numbers=DN,

@@ -21,8 +21,54 @@ from flax import linen as nn
 Dtype = Any
 
 
+class _S2dStridedConv(nn.Module):
+    """A k3/s2 conv computed as a dense k2/s1 conv on a space-to-depth
+    packing (``kuzu/ops/s2d.py``) — identical math up to float
+    re-association, dense grad-input in the backward pass.
+
+    Declares the SAME param tree as ``nn.Conv`` (``kernel`` of shape
+    (3, 3, cin//g, cout)) so checkpoints and param-count parity are
+    unaffected; grouped convs run as per-group dense convs (XLA's
+    ``feature_group_count`` lowering measured 1.6x slower at inference,
+    PERFORMANCE.md "Known headroom" — the same split applied to training).
+    """
+
+    c2: int
+    g: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from kuzu.ops.s2d import s2d_kernel, space_to_depth
+
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, cin // self.g, self.c2),
+        )
+        kernel = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        cin_g, cout_g = cin // self.g, self.c2 // self.g
+        outs = []
+        for j in range(self.g):
+            w2 = s2d_kernel(kernel[..., j * cout_g:(j + 1) * cout_g])
+            xs = space_to_depth(x[..., j * cin_g:(j + 1) * cin_g])
+            outs.append(
+                jax.lax.conv_general_dilated(
+                    xs, w2, (1, 1), [(1, 0), (1, 0)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            )
+        return outs[0] if self.g == 1 else jnp.concatenate(outs, axis=-1)
+
+
 class Conv(nn.Module):
-    """Conv2d + BatchNorm + SiLU (reference ``Conv``)."""
+    """Conv2d + BatchNorm + SiLU (reference ``Conv``).
+
+    ``impl='s2d'`` rewrites an eligible k3/s2 conv (even H, W) through
+    ``_S2dStridedConv`` — the training-path counterpart of the inference
+    executor's ``stem_conv_s2d``; param tree unchanged.
+    """
 
     c2: int
     k: int = 1
@@ -31,20 +77,30 @@ class Conv(nn.Module):
     g: int = 1
     act: bool = True
     dtype: Dtype = jnp.float32
+    impl: str = "native"  # 'native' | 's2d'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         p = self.p if self.p is not None else self.k // 2
-        x = nn.Conv(
-            self.c2,
-            kernel_size=(self.k, self.k),
-            strides=(self.s, self.s),
-            padding=[(p, p), (p, p)],
-            feature_group_count=self.g,
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if (
+            self.impl == "s2d" and self.k == 3 and self.s == 2 and p == 1
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+            and self.c2 % self.g == 0 and x.shape[-1] % self.g == 0
+        ):
+            x = _S2dStridedConv(
+                self.c2, g=self.g, dtype=self.dtype, name="conv"
+            )(x)
+        else:
+            x = nn.Conv(
+                self.c2,
+                kernel_size=(self.k, self.k),
+                strides=(self.s, self.s),
+                padding=[(p, p), (p, p)],
+                feature_group_count=self.g,
+                use_bias=False,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.97,

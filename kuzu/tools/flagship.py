@@ -131,6 +131,7 @@ def bench_train_step(
     optimizer: str = "sgd",
     seed: int = 0,
     attn_impl: str = "auto",
+    conv_impl: str = "native",
 ) -> dict:
     """Measure the full jitted train step at flagship scale on the device.
 
@@ -148,7 +149,7 @@ def bench_train_step(
 
     det = YoloDetector(
         model, nc=nc, dtype=jnp.bfloat16, imgsz=imgsz, remat=remat,
-        attn_impl=attn_impl,
+        attn_impl=attn_impl, conv_impl=conv_impl,
     )
     variables = det.init(jax.random.key(seed), imgsz=imgsz)
     model_state = {k: v for k, v in variables.items() if k != "params"}
@@ -225,6 +226,7 @@ def bench_train_step(
         "nc": nc,
         "params_m": n_params / 1e6,
         "remat": remat,
+        "conv_impl": conv_impl,
         "step_ms": dt * 1e3,
         "img_per_s": batch / dt,
         "step_tflops": flops / 1e12,
