@@ -56,10 +56,12 @@ def bench_detector(
         @jax.jit
         def run(variables, imgs, c0):
             def body(c, _):
-                # stem_s2d: space-to-depth stem rewrite — same NMS keep set,
-                # 3.278 -> 3.213 ms/img on chip (r4 A/B); the production
-                # cascade path (detector.forward_fused) defaults to it too.
-                feats = run_graph(det.spec, variables, imgs + c * 1e-30, stem_s2d=True)
+                # plain stem: the round-5 in-process A/B (r5_stem_ab.py,
+                # slope estimator) reversed the round-4 ordering — plain
+                # 2.521 vs s2d 2.656 vs packed 2.588 ms/img — so the
+                # executor runs the native strided stem again (the
+                # production cascade path, detector.forward_fused, too).
+                feats = run_graph(det.spec, variables, imgs + c * 1e-30)
                 pred = det.decode(feats, imgsz=imgsz)
                 out = non_max_suppression(pred, conf_thres=0.25, max_det=300)
                 # checksum feeds the next iteration's input perturbation so

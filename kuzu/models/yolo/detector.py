@@ -99,9 +99,13 @@ class YoloDetector:
         if jax.default_backend() == "tpu":
             from kuzu.models.yolo.infer import run_graph
 
+            # stem_s2d defaults OFF since round 5: the in-process slope A/B
+            # (r5_stem_ab.py) measured plain 2.521 / s2d 2.656 / packed
+            # 2.588 ms/img e2e — the r4 s2d win did not survive the
+            # batched-NMS + estimator changes.
             return run_graph(
                 self.spec, variables, images,
-                stem_s2d=getattr(self, "stem_s2d", True),
+                stem_s2d=getattr(self, "stem_s2d", False),
             )
         return self.apply(variables, images, train=False)
 

@@ -19,10 +19,12 @@ from kuzu.tools.flagship import bench_train_step
 enable_compilation_cache()
 
 CONFIGS = [
-    dict(batch=8, remat=False),             # r4 baseline (175.1 ms)
-    dict(batch=16, remat=True),             # 2x batch, pay recompute
-    dict(batch=12, remat=False),            # fill HBM headroom (11.4->~15 GB)
-    dict(batch=16, remat=False),            # expected OOM (documents the edge)
+    dict(batch=8, remat=False),                    # r4 baseline (175.1 ms)
+    dict(batch=8, remat=False, conv_impl="s2d"),   # dense-bwd downsample convs
+    dict(batch=16, remat=True),                    # 2x batch, pay recompute
+    dict(batch=12, remat=False),                   # fill HBM headroom
+    dict(batch=12, remat=False, conv_impl="s2d"),
+    dict(batch=16, remat=False),                   # expected OOM (documents edge)
 ]
 
 MODEL_TFLOPS_PER_IMG = None  # derived from the first remat=False run
@@ -37,7 +39,7 @@ for i in picks:
     except Exception as e:  # OOM configs are data, not failures
         print(json.dumps({"cfg": kw, "error": str(e)[:300]}))
         continue
-    if not kw["remat"] and MODEL_TFLOPS_PER_IMG is None:
+    if not kw["remat"] and MODEL_TFLOPS_PER_IMG is None:  # first remat-off run
         MODEL_TFLOPS_PER_IMG = r["step_tflops"] / kw["batch"]
     if MODEL_TFLOPS_PER_IMG is not None:
         model_tflops = MODEL_TFLOPS_PER_IMG * kw["batch"]
@@ -49,4 +51,4 @@ for i in picks:
 best = min(results, key=lambda r: r["step_ms"] / r["batch"], default=None)
 if best:
     print("best img/s/chip:", round(best["img_per_s"], 1),
-          "cfg:", {k: best[k] for k in ("batch", "remat")})
+          "cfg:", {k: best[k] for k in ("batch", "remat", "conv_impl")})
