@@ -209,16 +209,22 @@ def bench_train_step(
     except Exception:  # memory_analysis unavailable on some backends
         pass
 
-    # warmup (compile + 2 steps), then the timed chain
+    # warmup (compile + 2 steps), then timed chains. The first chained run
+    # of an executable reads ~80 ms/step high (device/tunnel warmup —
+    # PERFORMANCE.md round-4 reproducibility finding), so time several
+    # chains of the SAME executable and report the min (steady state).
     for _ in range(2):
         state, metrics = step(state, fake, rng_key)
     float(metrics["loss"])
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        rng_key, sk = jax.random.split(rng_key)
-        state, metrics = step(state, fake, sk)
-    loss = float(metrics["loss"])  # forces the chain
-    dt = (time.perf_counter() - t0 - 0.025) / steps  # amortized tunnel RT
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            rng_key, sk = jax.random.split(rng_key)
+            state, metrics = step(state, fake, sk)
+        loss = float(metrics["loss"])  # forces the chain
+        dts.append((time.perf_counter() - t0 - 0.025) / steps)
+    dt = min(dts)  # steady-state chain, amortized tunnel RT
     out = {
         "model": model,
         "imgsz": imgsz,
